@@ -1,0 +1,185 @@
+"""Sparse SPD solvers for ``M x = b`` with a differentiable wrapper.
+
+Reference semantics: largesteps/solvers.py —
+  * CholeskySolver (solvers.py:26-39): factorize once, back-substitute per
+    iteration (native cholespy/CHOLMOD in the reference);
+  * ConjugateGradientSolver (solvers.py:41-126): per-axis CG to ‖r‖ ≤ 1e-5
+    with forward/backward warm starts;
+  * DifferentiableSolve (solvers.py:128-148): backward pass solves the same
+    system (M = Mᵀ ⇒ ∂L/∂b = M⁻¹ g), no gradient to the matrix.
+
+TPU design:
+  * The CG path is pure JAX (gather/segment matvec + ``lax.while_loop``) and
+    runs entirely on device; the three coordinate axes are solved in one
+    *batched* CG with per-axis α/β scalars (mathematically identical to the
+    reference's sequential per-axis loops, but one fused matvec per
+    iteration).  Converged axes are frozen by masking.
+  * The Cholesky path factorizes on host, once per topology epoch (native
+    C++ LLT when built — see native/cholesky.cpp — else scipy SuperLU), and
+    executes the per-iteration triangular solves through
+    ``jax.pure_callback`` so it composes with ``jit``.
+  * Warm starts are explicit function arguments (pure-functional), threaded
+    by the driver: the previous iteration's vertex solution / u-gradient are
+    exactly the previous forward/backward solutions.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .sparse import SparseCOO, coo_matvec
+
+__all__ = ["CholeskySolver", "ConjugateGradientSolver", "cg_solve", "solve"]
+
+
+# ---------------------------------------------------------------------------
+# Conjugate gradients (device-side)
+# ---------------------------------------------------------------------------
+
+def cg_solve(M: SparseCOO, b: jax.Array, x0: jax.Array | None = None,
+             tol: float = 1e-5, max_iter: int = 10000) -> jax.Array:
+    """Batched CG for SPD ``M`` and multi-RHS ``b`` of shape (n, k).
+
+    Each RHS column keeps its own α/β (the reference solves axes one at a
+    time for exactly this reason, solvers.py:112-118); a column whose
+    residual norm has dropped below ``tol`` stops being updated.
+    Semantics spec: largesteps/solvers.py:58-84.
+    """
+    if b.ndim == 1:
+        return cg_solve(M, b[:, None], None if x0 is None else x0[:, None],
+                        tol, max_iter)[:, 0]
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    def matvec(x):
+        return coo_matvec(M, x)
+
+    r0 = matvec(x0) - b
+    p0 = -r0
+    rn0 = jnp.linalg.norm(r0, axis=0)          # (k,)
+
+    def cond(state):
+        _, _, _, r_norm, it = state
+        return jnp.logical_and(jnp.any(r_norm > tol), it < max_iter)
+
+    def body(state):
+        x, r, p, r_norm, it = state
+        active = (r_norm > tol)                # (k,)
+        Ap = matvec(p)
+        r2 = r_norm ** 2
+        pAp = jnp.sum(p * Ap, axis=0)
+        alpha = jnp.where(active, r2 / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        x = x + alpha[None, :] * p
+        r_new = r + alpha[None, :] * Ap
+        r_new_norm = jnp.linalg.norm(r_new, axis=0)
+        beta = jnp.where(active, r_new_norm ** 2 / jnp.where(r2 == 0, 1.0, r2), 0.0)
+        p = jnp.where(active[None, :], -r_new + beta[None, :] * p, p)
+        r = jnp.where(active[None, :], r_new, r)
+        r_norm = jnp.where(active, r_new_norm, r_norm)
+        return x, r, p, r_norm, it + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x0, r0, p0, rn0, jnp.int32(0)))
+    return x
+
+
+class ConjugateGradientSolver:
+    """Thin object wrapper matching the reference solver surface
+    (largesteps/solvers.py:41-56).  Stateless: warm starts are passed in."""
+
+    method = "CG"
+
+    def __init__(self, M: SparseCOO, tol: float = 1e-5):
+        self.M = M
+        self.tol = tol
+
+    def solve(self, b, x0=None):
+        return cg_solve(self.M, b, x0=x0, tol=self.tol)
+
+
+# ---------------------------------------------------------------------------
+# Cholesky (host factorization, callback solve)
+# ---------------------------------------------------------------------------
+
+class CholeskySolver:
+    """Factorize ``M`` once on host; solve via ``pure_callback`` under jit.
+
+    Reference: largesteps/solvers.py:26-39 (cholespy CholeskySolverF).
+    Uses the native C++ simplicial LLT (native/cholesky.cpp) when available,
+    falling back to scipy's SuperLU.  Factorization cost is amortized over a
+    topology epoch, mirroring the reference's construct-once design.
+    """
+
+    method = "Cholesky"
+
+    def __init__(self, M: SparseCOO):
+        st = M.structure
+        vals = np.asarray(jax.device_get(M.vals), dtype=np.float64)
+        self.n = st.shape[0]
+        self._backend = None
+        try:
+            from ..native import cholesky as native_chol
+            self._native = native_chol.factorize(
+                self.n, st.rows, st.cols, vals
+            )
+            self._backend = "native-llt"
+        except Exception:
+            import scipy.sparse as sp
+            import scipy.sparse.linalg as spla
+            A = sp.csc_matrix((vals, (st.rows, st.cols)), shape=st.shape)
+            self._lu = spla.splu(A.tocsc())
+            self._native = None
+            self._backend = "scipy-splu"
+
+    def _host_solve(self, b: np.ndarray) -> np.ndarray:
+        b64 = np.asarray(b, dtype=np.float64)
+        if self._native is not None:
+            x = self._native.solve(b64)
+        else:
+            x = self._lu.solve(b64)
+        return x.astype(b.dtype)
+
+    def solve(self, b, x0=None):
+        # x0 ignored — direct solve.  Shape/dtype static, pure per-call.
+        return jax.pure_callback(
+            self._host_solve,
+            jax.ShapeDtypeStruct(b.shape, b.dtype),
+            b,
+            vmap_method="sequential",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable solve (custom VJP, M = Mᵀ trick)
+# ---------------------------------------------------------------------------
+
+def solve(solver, b, guess_fwd=None, guess_bwd=None):
+    """Differentiable ``M⁻¹ b`` (reference: largesteps/solvers.py:128-148).
+
+    Backward applies the same solver to the output cotangent (M symmetric).
+    No gradient flows to the matrix or the warm-start guesses.
+    ``guess_fwd``/``guess_bwd`` warm-start the CG path (solvers.py:102-124);
+    the Cholesky path ignores them.
+    """
+    if guess_fwd is None:
+        guess_fwd = jnp.zeros_like(b)
+    if guess_bwd is None:
+        guess_bwd = jnp.zeros_like(b)
+
+    @jax.custom_vjp
+    def _solve(b, guess_fwd, guess_bwd):
+        return solver.solve(b, x0=guess_fwd)
+
+    def _fwd(b, guess_fwd, guess_bwd):
+        x = solver.solve(b, x0=guess_fwd)
+        return x, (guess_bwd,)
+
+    def _bwd(res, g):
+        (guess_bwd,) = res
+        gb = solver.solve(g, x0=guess_bwd)
+        return gb, jnp.zeros_like(gb), jnp.zeros_like(gb)
+
+    _solve.defvjp(_fwd, _bwd)
+    return _solve(b, guess_fwd, guess_bwd)

@@ -1,0 +1,101 @@
+"""Differentiable solve: round-trip, CG vs Cholesky, grad vs finite diff.
+
+Anchored to BASELINE.json configs[0]: "to_differential/from_differential
+Cholesky round-trip + grad on small sphere mesh".
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from largesteps_tpu.core import (
+    compute_matrix, to_differential, from_differential, cg_solve,
+    get_solver, clear_cache,
+)
+from largesteps_tpu.ops import icosphere
+
+
+@pytest.fixture(scope="module")
+def system():
+    v, f = icosphere(2)
+    M = compute_matrix(v, f, lambda_=19.0)
+    return jnp.asarray(v), f, M
+
+
+@pytest.mark.parametrize("method", ["Cholesky", "CG"])
+def test_round_trip(system, method):
+    v, f, M = system
+    u = to_differential(M, v)
+    v_back = from_differential(M, u, method)
+    np.testing.assert_allclose(np.asarray(v_back), np.asarray(v), atol=5e-4)
+
+
+def test_cg_matches_cholesky(system):
+    v, f, M = system
+    u = to_differential(M, v)
+    x_chol = from_differential(M, u, "Cholesky")
+    x_cg = from_differential(M, u, "CG")
+    np.testing.assert_allclose(np.asarray(x_cg), np.asarray(x_chol), atol=5e-4)
+
+
+def test_cg_warm_start(system):
+    v, f, M = system
+    u = to_differential(M, v)
+    # warm start with the exact solution: should converge immediately & exactly
+    x = cg_solve(M, u, x0=v)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(v), atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["Cholesky", "CG"])
+def test_solve_gradient_is_inverse_transpose(system, method):
+    """∂(wᵀ M⁻¹ u)/∂u must equal M⁻¹ w (M symmetric) — the M=Mᵀ trick
+    (reference largesteps/solvers.py:139-145)."""
+    v, f, M = system
+    u = to_differential(M, v)
+    w = jnp.asarray(np.random.default_rng(1).normal(size=u.shape), jnp.float32)
+
+    g = jax.grad(lambda uu: jnp.vdot(w, from_differential(M, uu, method)))(u)
+    expected = from_differential(M, w, method)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(expected), atol=5e-4)
+
+
+def test_solve_grad_finite_difference(system):
+    v, f, M = system
+    u = to_differential(M, v)
+
+    def loss(uu):
+        x = from_differential(M, uu, "Cholesky")
+        return jnp.sum(jnp.sin(x))
+
+    g = jax.grad(loss)(u)
+    eps = 1e-2
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        d = rng.normal(size=u.shape).astype(np.float32)
+        d /= np.linalg.norm(d)
+        fd = (loss(u + eps * d) - loss(u - eps * d)) / (2 * eps)
+        assert abs(float(jnp.vdot(g, d)) - float(fd)) < 2e-3
+
+
+def test_solver_cache_reuse_and_invalidation(system):
+    v, f, M = system
+    clear_cache()
+    s1 = get_solver(M, "Cholesky")
+    s2 = get_solver(M, "Cholesky")
+    assert s1 is s2
+    # a new matrix (new topology epoch ⇒ new structure) gets a new solver
+    v2, f2 = icosphere(1)
+    M2 = compute_matrix(v2, f2, lambda_=19.0)
+    s3 = get_solver(M2, "Cholesky")
+    assert s3 is not s1
+
+
+def test_solve_under_jit(system):
+    v, f, M = system
+    u = to_differential(M, v)
+
+    @jax.jit
+    def step(uu):
+        return from_differential(M, uu, "Cholesky").sum()
+
+    assert np.isfinite(float(step(u)))
