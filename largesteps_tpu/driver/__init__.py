@@ -1,1 +1,2 @@
-
+from .optimize_shape import optimize_shape, default_params
+from .checkpoint import save_checkpoint, load_checkpoint

@@ -1,0 +1,280 @@
+"""The optimization driver — TPU equivalent of scripts/main.py::optimize_shape.
+
+Reference semantics (scripts/main.py:18-218): load scene → render reference
+images → (optionally) parameterize v→u with M = I+λL → AdamUniform loop
+[from_differential → normals → render → image loss (+ laplacian/bilaplacian
+reg) → backward → step], with a remeshing schedule that rebuilds the system
+matrix, resets the optimizer and decays the step size by 0.8× per event, and
+either a step budget or a wall-clock budget.
+
+TPU design:
+  * one **jitted step function** per topology epoch (remesh events are
+    recompile boundaries — rare by construction, SURVEY §7);
+  * optimizer state is functional (optax-style), not mutable;
+  * per-iteration history recording is OPTIONAL and device-side — the
+    reference's per-iteration ``.cpu()`` sync (main.py:200-202) is a perf
+    bug we do not replicate.  Loss history is accumulated on device and
+    fetched at the end (or at remesh boundaries);
+  * CG warm starts are threaded explicitly: the previous vertex solution
+    warm-starts the forward solve and the previous u-gradient warm-starts
+    the backward solve (the functional replacement for
+    largesteps/solvers.py:102-124 mutable guesses).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import compute_matrix, laplacian_uniform
+from ..core.parameterize import to_differential, get_solver
+from ..core.solvers import solve as diff_solve
+from ..core.sparse import coo_matvec
+from ..core.optimize import adam_uniform, adam
+from ..ops.mesh import remove_duplicates, average_edge_length
+from ..ops.normals import compute_face_normals, compute_vertex_normals
+from ..render.renderer import Renderer, Topology
+from ..io.xml_scene import load_scene
+
+__all__ = ["optimize_shape", "default_params", "EpochState"]
+
+
+def default_params():
+    """Defaults mirroring scripts/main.py:30-44."""
+    return {
+        "time": -1,            # optimization time (minutes); overrides steps
+        "steps": 100,
+        "step_size": 0.01,
+        "boost": 1,            # antialias position-gradient boost
+        "smooth": True,        # our parameterization vs plain coordinates
+        "shading": True,       # shaded vs silhouette rendering
+        "reg": 0.0,
+        "solver": "Cholesky",
+        "lambda": 1.0,
+        "alpha": None,
+        "remesh": -1,          # iteration(s) at which to remesh
+        "optimizer": "AdamUniform",
+        "use_tr": True,        # optimize a global translation too
+        "loss": "l2",
+        "bilaplacian": True,
+        "record_verts": False, # per-iter vertex history (heavy; ref always on)
+        "raster_chunk": 128,
+    }
+
+
+def _make_optimizer(name_or_tx, lr):
+    if callable(name_or_tx):
+        return name_or_tx(lr)
+    if name_or_tx == "AdamUniform":
+        return adam_uniform(lr)
+    if name_or_tx == "Adam":
+        return adam(lr)
+    raise ValueError(f"unknown optimizer {name_or_tx!r}")
+
+
+@dataclass
+class EpochState:
+    """Everything tied to one topology epoch (rebuilt at each remesh)."""
+    v_unique: np.ndarray
+    f_unique: np.ndarray
+    duplicate_idx: np.ndarray
+    f_src: np.ndarray
+    topology: Topology
+    M: Any = None
+    L: Any = None
+    u: Any = None
+    step_fn: Callable = None
+
+
+def _build_epoch(v_src, f_src, p, renderer):
+    v_unique, f_unique, duplicate_idx = remove_duplicates(v_src, f_src)
+    st = EpochState(
+        v_unique=v_unique, f_unique=f_unique, duplicate_idx=duplicate_idx,
+        f_src=np.asarray(f_src, np.int32), topology=Topology(f_src),
+    )
+    st.L = laplacian_uniform(len(v_unique), f_unique)
+    if p["smooth"]:
+        st.M = compute_matrix(v_unique, f_unique, lambda_=p["lambda"], alpha=p["alpha"])
+        st.u = to_differential(st.M, jnp.asarray(v_unique))
+        # materialize the factorization now (once per epoch)
+        get_solver(st.M, p["solver"])
+    return st
+
+
+def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
+    """Build the jitted train step for one topology epoch."""
+    smooth = p["smooth"]
+    use_tr = p["use_tr"]
+    dup = jnp.asarray(st.duplicate_idx)
+    f_unique = st.f_unique
+    L = st.L
+    M = st.M
+    solver = get_solver(M, p["solver"]) if smooth else None
+    reg = float(p["reg"])
+    loss_kind = p["loss"]
+    bilap = p["bilaplacian"]
+
+    def forward(theta, guess_fwd, guess_bwd):
+        if smooth:
+            v_unique = diff_solve(solver, theta["u"], guess_fwd, guess_bwd)
+        else:
+            v_unique = theta["u"]
+        v_opt = v_unique[dup]
+        fn = compute_face_normals(v_unique, f_unique)
+        n_unique = compute_vertex_normals(v_unique, f_unique, fn)
+        n_opt = n_unique[dup]
+        tr = theta["tr"] if use_tr else jnp.zeros((1, 3), v_opt.dtype)
+        imgs = renderer.render(tr + v_opt, n_opt, st.topology)
+        diff = imgs - ref_imgs
+        im_loss = jnp.abs(diff).mean() if loss_kind == "l1" else jnp.square(diff).mean()
+        Lv = coo_matvec(L, v_unique)
+        if bilap:
+            reg_loss = jnp.square(Lv).mean()
+        else:
+            reg_loss = (v_unique * Lv).mean()
+        loss = im_loss + reg * reg_loss
+        # always log the bilaplacian magnitude, like main.py:200
+        bilap_mag = jnp.square(jax.lax.stop_gradient(Lv)).mean()
+        return loss, (im_loss, bilap_mag, v_unique)
+
+    @jax.jit
+    def step(theta, opt_state, guess_fwd, guess_bwd):
+        (loss, (im_loss, bilap_mag, v_unique)), grads = jax.value_and_grad(
+            forward, has_aux=True
+        )(theta, guess_fwd, guess_bwd)
+        if not use_tr:
+            grads["tr"] = jnp.zeros_like(theta["tr"])
+        updates, opt_state = tx.update(grads, opt_state, theta)
+        theta = jax.tree.map(lambda a, b: a + b, theta, updates)
+        new_guess_fwd = jax.lax.stop_gradient(v_unique)
+        new_guess_bwd = grads["u"] if smooth else jnp.zeros_like(theta["u"])
+        return theta, opt_state, (im_loss, bilap_mag), new_guess_fwd, new_guess_bwd
+
+    return step
+
+
+def optimize_shape(scene, params=None):
+    """Run the shape optimization.  ``scene`` is a scene-params dict or a
+    path to a scene XML.  Returns the reference-compatible result dict
+    (main.py:124-126,217-218)."""
+    p = default_params()
+    if params:
+        p.update(params)
+
+    scene_params = load_scene(scene) if isinstance(scene, str) else scene
+
+    v_ref = jnp.asarray(scene_params["mesh-target"]["vertices"])
+    f_ref = np.asarray(scene_params["mesh-target"]["faces"], np.int32)
+    if "normals" in scene_params["mesh-target"]:
+        n_ref = jnp.asarray(scene_params["mesh-target"]["normals"])
+    else:
+        fn = compute_face_normals(v_ref, f_ref)
+        n_ref = compute_vertex_normals(v_ref, f_ref, fn)
+
+    v_src = np.asarray(scene_params["mesh-source"]["vertices"], np.float32)
+    f_src = np.asarray(scene_params["mesh-source"]["faces"], np.int32)
+
+    renderer = Renderer(scene_params, shading=p["shading"], boost=p["boost"],
+                        chunk=p["raster_chunk"])
+    ref_imgs = renderer.render(v_ref, n_ref, Topology(f_ref))
+    ref_imgs = jax.lax.stop_gradient(ref_imgs)
+
+    st = _build_epoch(v_src, f_src, p, renderer)
+
+    step_size = float(p["step_size"])
+    tx = _make_optimizer(p["optimizer"], step_size)
+    theta = {
+        "u": st.u if p["smooth"] else jnp.asarray(st.v_unique),
+        "tr": jnp.zeros((1, 3), jnp.float32),
+    }
+    opt_state = tx.init(theta)
+    guess_fwd = jnp.asarray(st.v_unique)
+    guess_bwd = jnp.zeros_like(guess_fwd)
+    step = _make_step(st, p, renderer, ref_imgs, tx)
+
+    steps = int(p["steps"])
+    opt_time = float(p["time"]) * 60.0
+    if float(p["time"]) > 0:
+        steps = -1
+
+    remesh = p["remesh"]
+    remesh_schedule = list(remesh) if isinstance(remesh, (list, tuple)) else []
+    remesh_it = remesh_schedule.pop(0) if remesh_schedule else (
+        remesh if isinstance(remesh, int) else -1
+    )
+
+    result = {
+        "vert_steps": [], "tr_steps": [], "f": [f_src.copy()], "losses": [],
+        "im_ref": np.asarray(ref_imgs), "im": [],
+        "v_ref": np.asarray(v_ref), "f_ref": f_ref.copy(),
+    }
+
+    it = 0
+    t0 = time.perf_counter()
+    t = t0
+    loss_log = []
+    while (steps > 0 and it < steps) or (steps < 0 and (t - t0) < opt_time):
+        if it == remesh_it:
+            # --- remesh event: host round-trip, new epoch ---------------
+            from ..native import remesh as native_remesh
+            if p["smooth"]:
+                v_unique = diff_solve(get_solver(st.M, p["solver"]), theta["u"])
+                v_unique = np.asarray(jax.lax.stop_gradient(v_unique))
+            else:
+                v_unique = np.asarray(theta["u"])
+            h = float(average_edge_length(v_unique, st.f_unique)) * 0.5
+            v_new, f_new = native_remesh.remesh_botsch(
+                v_unique.astype(np.float64), st.f_unique.astype(np.int32), 5, h, True
+            )
+            v_src = v_new.astype(np.float32)
+            f_src = f_new.astype(np.int32)
+            st = _build_epoch(v_src, f_src, p, renderer)
+            result["f"].append(f_new.copy())
+            step_size *= 0.8
+            tx = _make_optimizer(p["optimizer"], step_size)
+            theta = {
+                "u": st.u if p["smooth"] else jnp.asarray(st.v_unique),
+                "tr": theta["tr"],
+            }
+            opt_state = tx.init(theta)
+            guess_fwd = jnp.asarray(st.v_unique)
+            guess_bwd = jnp.zeros_like(guess_fwd)
+            step = _make_step(st, p, renderer, ref_imgs, tx)
+            if remesh_schedule:
+                remesh_it = remesh_schedule.pop(0)
+            else:
+                remesh_it = -1
+
+        theta, opt_state, losses, guess_fwd, guess_bwd = step(
+            theta, opt_state, guess_fwd, guess_bwd
+        )
+        loss_log.append(losses)
+        if p["record_verts"]:
+            if p["smooth"]:
+                v_u = diff_solve(get_solver(st.M, p["solver"]), theta["u"])
+            else:
+                v_u = theta["u"]
+            result["vert_steps"].append(np.asarray(v_u)[st.duplicate_idx])
+            result["tr_steps"].append(np.asarray(theta["tr"]))
+
+        it += 1
+        t = time.perf_counter()
+
+    result["losses"] = np.array(
+        [(float(a), float(b)) for a, b in loss_log], dtype=np.float64
+    )
+    # final state
+    if p["smooth"]:
+        v_final = diff_solve(get_solver(st.M, p["solver"]), theta["u"])
+    else:
+        v_final = theta["u"]
+    result["v_final"] = np.asarray(jax.lax.stop_gradient(v_final))[st.duplicate_idx]
+    result["f_final"] = st.f_src.copy()
+    result["tr"] = np.asarray(theta["tr"])
+    result["iters"] = it
+    result["wall_time"] = t - t0
+    return result

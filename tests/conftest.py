@@ -4,13 +4,21 @@ Multi-chip TPU hardware is unavailable in CI; sharding correctness is
 validated on ``xla_force_host_platform_device_count=8`` CPU devices
 (single-device vs sharded allclose), mirroring the driver's separate
 multi-chip dry-run.
+
+NOTE: this environment registers an `axon` TPU plugin via sitecustomize and
+forces ``jax_platforms=axon,cpu`` *after* env vars are read, so plain
+``JAX_PLATFORMS=cpu`` is ineffective — we must override through
+``jax.config`` before any backend initializes.  Running tests on the axon
+tunnel is ~20× slower per compile and serializes across processes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # Persistent compilation cache: the 2-vCPU CI box pays seconds per XLA
 # compile; cache across runs keeps the suite fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -18,6 +26,10 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
