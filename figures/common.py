@@ -1,0 +1,64 @@
+"""Shared experiment harness for the figure reproductions.
+
+The reference's per-figure ``generate_data.py`` scripts (C17 in SURVEY §2)
+configure scripts/main.py::optimize_shape with a params dict and write PLY
+meshes + CSV loss curves to OUTPUT_DIR (scripts/constants.py:4).  The scene
+assets are a separate download in the reference, so these reproductions run
+on synthesized scenes of matching scale (largesteps_tpu.io.synth); every
+other knob (step counts, λ, remesh schedules, regularization weights,
+optimizers) mirrors the cited reference config.
+"""
+import os
+import csv
+
+import numpy as np
+
+from largesteps_tpu.driver import optimize_shape
+from largesteps_tpu.io.synth import make_scene
+from largesteps_tpu.io.ply import write_ply
+from largesteps_tpu.metrics import symmetric_hausdorff
+
+OUTPUT_DIR = os.environ.get(
+    "LS_OUTPUT_DIR", os.path.join(os.path.dirname(__file__), "output")
+)
+
+# Named stand-in scenes of roughly reference scale (suzanne ~7.8k verts,
+# nefertiti ~100k+ verts high-res target, etc.)
+SCENES = {
+    "suzanne":  dict(source=("icosphere", 4), target=("gourd", 4),      n_views=13, res=256),
+    "bunny":    dict(source=("icosphere", 4), target=("gourd", 5),      n_views=13, res=256),
+    "bob":      dict(source=("icosphere", 4), target=("torus", 48),     n_views=13, res=256),
+    "tshirt":   dict(source=("icosphere", 4), target=("supershape", 4), n_views=13, res=256),
+    "cranium":  dict(source=("icosphere", 4), target=("gourd", 5),      n_views=13, res=256),
+    "planck":   dict(source=("icosphere", 4), target=("supershape", 5), n_views=13, res=256),
+    "nefertiti": dict(source=("icosphere", 6), target=("gourd", 6),     n_views=13, res=256),
+    "dragon":   dict(source=("icosphere", 4), target=("supershape", 5), n_views=13, res=256),
+}
+
+
+def run(name, scene_name, params, out_subdir, record_hausdorff_every=0):
+    """Run one configuration; persist final mesh, loss CSV, metrics."""
+    os.makedirs(os.path.join(OUTPUT_DIR, out_subdir), exist_ok=True)
+    scene = make_scene(**SCENES[scene_name])
+    result = optimize_shape(scene, params)
+
+    base = os.path.join(OUTPUT_DIR, out_subdir, name)
+    write_ply(base + "_final.ply", result["v_final"], result["f_final"])
+    with open(base + "_loss.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["iteration", "im_loss", "reg_loss"])
+        for i, (im, reg) in enumerate(result["losses"]):
+            w.writerow([i, im, reg])
+
+    d = symmetric_hausdorff(
+        result["v_final"], result["f_final"],
+        scene["mesh-target"]["vertices"], scene["mesh-target"]["faces"],
+    )
+    with open(base + "_metrics.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["hausdorff", "iters", "wall_time_s", "iters_per_s"])
+        w.writerow([d, result["iters"], result["wall_time"],
+                    result["iters"] / max(result["wall_time"], 1e-9)])
+    print(f"[{out_subdir}/{name}] hausdorff={d:.5f} "
+          f"iters={result['iters']} ({result['iters']/max(result['wall_time'],1e-9):.1f} it/s)")
+    return result, d

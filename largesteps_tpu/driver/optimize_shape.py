@@ -63,6 +63,9 @@ def default_params():
         "bilaplacian": True,
         "record_verts": False, # per-iter vertex history (heavy; ref always on)
         "raster_chunk": 128,
+        "checkpoint_every": 0, # iterations between checkpoints (0 = off)
+        "checkpoint_path": None,
+        "resume": None,        # path of a checkpoint to resume from
     }
 
 
@@ -178,6 +181,13 @@ def optimize_shape(scene, params=None):
     v_src = np.asarray(scene_params["mesh-source"]["vertices"], np.float32)
     f_src = np.asarray(scene_params["mesh-source"]["faces"], np.int32)
 
+    resume_data = None
+    if p["resume"]:
+        from .checkpoint import load_checkpoint
+        resume_data = load_checkpoint(p["resume"])
+        v_src = resume_data["v_src"].astype(np.float32)
+        f_src = resume_data["f_src"].astype(np.int32)
+
     renderer = Renderer(scene_params, shading=p["shading"], boost=p["boost"],
                         chunk=p["raster_chunk"])
     ref_imgs = renderer.render(v_ref, n_ref, Topology(f_ref))
@@ -186,12 +196,18 @@ def optimize_shape(scene, params=None):
     st = _build_epoch(v_src, f_src, p, renderer)
 
     step_size = float(p["step_size"])
+    if resume_data is not None:
+        step_size = float(resume_data["meta"]["step_size"])
     tx = _make_optimizer(p["optimizer"], step_size)
     theta = {
         "u": st.u if p["smooth"] else jnp.asarray(st.v_unique),
         "tr": jnp.zeros((1, 3), jnp.float32),
     }
     opt_state = tx.init(theta)
+    if resume_data is not None:
+        from .checkpoint import load_pytree
+        theta = load_pytree(resume_data["theta"], theta)
+        opt_state = load_pytree(resume_data["opt_state"], opt_state)
     guess_fwd = jnp.asarray(st.v_unique)
     guess_bwd = jnp.zeros_like(guess_fwd)
     step = _make_step(st, p, renderer, ref_imgs, tx)
@@ -206,6 +222,12 @@ def optimize_shape(scene, params=None):
     remesh_it = remesh_schedule.pop(0) if remesh_schedule else (
         remesh if isinstance(remesh, int) else -1
     )
+    start_it = 0
+    if resume_data is not None:
+        start_it = int(resume_data["meta"]["step"])
+        remesh_schedule = [r for r in resume_data["meta"]["remesh_schedule"]
+                           if r > start_it]
+        remesh_it = remesh_schedule.pop(0) if remesh_schedule else -1
 
     result = {
         "vert_steps": [], "tr_steps": [], "f": [f_src.copy()], "losses": [],
@@ -213,11 +235,20 @@ def optimize_shape(scene, params=None):
         "v_ref": np.asarray(v_ref), "f_ref": f_ref.copy(),
     }
 
-    it = 0
+    it = start_it
     t0 = time.perf_counter()
     t = t0
     loss_log = []
     while (steps > 0 and it < steps) or (steps < 0 and (t - t0) < opt_time):
+        if p["checkpoint_every"] and p["checkpoint_path"] and it > start_it \
+                and it % p["checkpoint_every"] == 0:
+            from .checkpoint import save_checkpoint
+            full_schedule = ([remesh_it] if remesh_it > 0 else []) + remesh_schedule
+            save_checkpoint(
+                p["checkpoint_path"], theta=theta, opt_state=opt_state,
+                v_src=v_src, f_src=f_src, step=it, step_size=step_size,
+                remesh_schedule=full_schedule,
+            )
         if it == remesh_it:
             # --- remesh event: host round-trip, new epoch ---------------
             from ..native import remesh as native_remesh

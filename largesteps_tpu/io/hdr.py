@@ -26,7 +26,7 @@ def _float_to_rgbe(rgb: np.ndarray) -> np.ndarray:
     nz = maxc >= 1e-32
     mant, exp = np.frexp(maxc[nz])
     scale = mant * 256.0 / maxc[nz]
-    rgbe[nz, :3] = np.clip(rgb[nz] * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[nz, :3] = np.clip(rgb[nz] * scale[..., None] + 0.5, 0, 255).astype(np.uint8)
     rgbe[nz, 3] = (exp + 128).astype(np.uint8)
     return rgbe
 

@@ -82,7 +82,7 @@ class Renderer:
     """
 
     def __init__(self, scene_params, shading: bool = True, boost: float = 1.0,
-                 chunk: int = 128):
+                 chunk: int = 128, backend: str = "auto", bin_cap: int = 768):
         near = scene_params["near_clip"]
         far = scene_params["far_clip"]
         self.fov_x = scene_params["fov"]
@@ -96,6 +96,14 @@ class Renderer:
         self.boost = float(boost)
         self.shading = bool(shading)
         self.chunk = int(chunk)
+        self.bin_cap = int(bin_cap)
+        # backend: 'pallas' = tile-binned Pallas kernel forward (TPU;
+        # ~50-80× the XLA scan's throughput) with the shared analytic
+        # backward; 'xla' = pure-XLA reference path; 'auto' picks pallas
+        # whenever the resolution tiles evenly.
+        if backend == "auto":
+            backend = "pallas" if (h % 32 == 0 and w % 128 == 0) else "xla"
+        self.backend = backend
 
         envmap = np.asarray(scene_params["envmap"], np.float32)
         envmap = scene_params.get("envmap_scale", 1.0) * envmap
@@ -110,7 +118,11 @@ class Renderer:
         """
         faces = jnp.asarray(topology.faces)
         v_ndc = project(v, self.mvps)                   # (C, V, 4)
-        rast = rasterize(v_ndc, faces, self.res, self.chunk)
+        if self.backend == "pallas":
+            from .pallas_raster import rasterize_pallas
+            rast = rasterize_pallas(v_ndc, faces, self.res, cap=self.bin_cap)
+        else:
+            rast = rasterize(v_ndc, faces, self.res, self.chunk)
         if self.shading:
             vert_light = sh_eval(self.sh_M, n)          # (V, 3)
             light = interpolate(vert_light, rast, faces)
