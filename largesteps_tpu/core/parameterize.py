@@ -17,7 +17,8 @@ from __future__ import annotations
 import weakref
 
 from .sparse import SparseCOO, coo_matvec
-from .solvers import CholeskySolver, ConjugateGradientSolver, solve
+from .solvers import (CholeskySolver, CholeskyHostSolver,
+                      ConjugateGradientSolver, solve)
 
 __all__ = ["to_differential", "from_differential", "clear_cache", "get_solver"]
 
@@ -47,6 +48,8 @@ def get_solver(M: SparseCOO, method: str = "Cholesky"):
     if key not in _cache:
         if method == "Cholesky":
             slv = CholeskySolver(M)
+        elif method == "CholeskyHost":
+            slv = CholeskyHostSolver(M)
         elif method == "CG":
             slv = ConjugateGradientSolver(M)
         else:

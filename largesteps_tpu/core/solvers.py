@@ -14,10 +14,20 @@ TPU design:
     *batched* CG with per-axis α/β scalars (mathematically identical to the
     reference's sequential per-axis loops, but one fused matvec per
     iteration).  Converged axes are frozen by masking.
-  * The Cholesky path factorizes on host, once per topology epoch (native
-    C++ LLT when built — see native/cholesky.cpp — else scipy SuperLU), and
-    executes the per-iteration triangular solves through
-    ``jax.pure_callback`` so it composes with ``jit``.
+  * The Cholesky path is **device-resident**: once per topology epoch the
+    dense ``M`` is Cholesky-factorized on the MXU and its explicit inverse
+    materialized (``cho_solve`` against I); the per-iteration "solve" is then
+    a single (n, n) @ (n, k) matmul — the TPU-idiomatic replacement for
+    sparse back-substitution, which is sequential and hostile to the MXU.
+    O(n³) factorization amortizes over a topology epoch exactly like the
+    reference's construct-once cholespy design; O(n²·k) per-iter apply beats
+    host round-trips by orders of magnitude (and the axon PJRT TPU client
+    does not support host callbacks at all).  Above ``DENSE_LIMIT`` vertices
+    the dense inverse no longer pays for itself (memory n² f32) and the
+    solver transparently becomes tight-tolerance CG.
+  * ``CholeskyHostSolver`` keeps the host-factorization path (native C++ LLT
+    when built — see native/cholesky.cpp — else scipy SuperLU) behind
+    ``jax.pure_callback`` for backends that support callbacks.
   * Warm starts are explicit function arguments (pure-functional), threaded
     by the driver: the previous iteration's vertex solution / u-gradient are
     exactly the previous forward/backward solutions.
@@ -32,7 +42,8 @@ import jax.numpy as jnp
 
 from .sparse import SparseCOO, coo_matvec
 
-__all__ = ["CholeskySolver", "ConjugateGradientSolver", "cg_solve", "solve"]
+__all__ = ["CholeskySolver", "CholeskyHostSolver", "ConjugateGradientSolver",
+           "cg_solve", "solve", "DENSE_LIMIT"]
 
 
 # ---------------------------------------------------------------------------
@@ -103,16 +114,80 @@ class ConjugateGradientSolver:
 # Cholesky (host factorization, callback solve)
 # ---------------------------------------------------------------------------
 
+# n above which the dense inverse (n² f32 resident + O(n³) epoch cost) stops
+# paying for itself and CG takes over.  32k verts ⇒ 4 GiB inverse, ~0.1 s/iter
+# apply — still fine on a TPU chip; beyond that the mesh is sharded anyway.
+DENSE_LIMIT = 32768
+
+
 class CholeskySolver:
+    """Device-resident direct solver: dense Cholesky inverse applied as a
+    matmul.
+
+    Reference semantics: largesteps/solvers.py:26-39 (cholespy
+    CholeskySolverF — factorize once, cheap repeated solves).  TPU design:
+    sparse triangular back-substitution is inherently sequential, so instead
+    the explicit inverse ``M⁻¹`` is materialized ONCE per topology epoch via
+    ``cho_factor``/``cho_solve`` on the MXU (O(n³), amortized like the
+    reference's factorization) and every subsequent solve is one
+    (n, n) @ (n, k) matmul that runs at MXU speed inside the jitted step.
+    Numerics match the reference's float32 solver class.  For
+    ``n > DENSE_LIMIT`` falls back to tight-tolerance CG (the reference's own
+    alternative solver) to bound memory.
+    """
+
+    method = "Cholesky"
+
+    def __init__(self, M: SparseCOO, dense_limit: int = DENSE_LIMIT,
+                 refine: int = 0):
+        self.n = M.shape[0]
+        self._cg_tol = 1e-6
+        self.M = M
+        self.refine = int(refine)
+        if self.n <= dense_limit:
+            # full f32 precision: the TPU MXU's default bf16 matmul passes
+            # are not accurate enough for a direct solver
+            with jax.default_matmul_precision("highest"):
+                A = _dense_from_coo(M)
+                c, low = jax.scipy.linalg.cho_factor(A)
+                inv = jax.scipy.linalg.cho_solve(
+                    (c, low), jnp.eye(self.n, dtype=A.dtype)
+                )
+            self.inv = jax.block_until_ready(inv)
+        else:
+            self.inv = None
+
+    def _apply_inv(self, b):
+        return jnp.matmul(self.inv, b, precision=jax.lax.Precision.HIGHEST)
+
+    def solve(self, b, x0=None):
+        if self.inv is None:
+            return cg_solve(self.M, b, x0=x0, tol=self._cg_tol)
+        x = self._apply_inv(b)
+        # optional iterative refinement (off by default: at HIGHEST matmul
+        # precision the explicit inverse is already ~1e-6 accurate)
+        for _ in range(self.refine):
+            x = x + self._apply_inv(b - coo_matvec(self.M, x))
+        return x
+
+
+def _dense_from_coo(M: SparseCOO) -> jax.Array:
+    st = M.structure
+    out = jnp.zeros(st.shape, M.vals.dtype)
+    return out.at[jnp.asarray(st.rows), jnp.asarray(st.cols)].set(M.vals)
+
+
+class CholeskyHostSolver:
     """Factorize ``M`` once on host; solve via ``pure_callback`` under jit.
 
     Reference: largesteps/solvers.py:26-39 (cholespy CholeskySolverF).
     Uses the native C++ simplicial LLT (native/cholesky.cpp) when available,
-    falling back to scipy's SuperLU.  Factorization cost is amortized over a
-    topology epoch, mirroring the reference's construct-once design.
+    falling back to scipy's SuperLU.  Only usable on PJRT backends with host
+    send/recv callback support (CPU; NOT the axon TPU client) — the default
+    ``CholeskySolver`` stays on device.
     """
 
-    method = "Cholesky"
+    method = "CholeskyHost"
 
     def __init__(self, M: SparseCOO):
         st = M.structure

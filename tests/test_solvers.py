@@ -22,12 +22,30 @@ def system():
     return jnp.asarray(v), f, M
 
 
-@pytest.mark.parametrize("method", ["Cholesky", "CG"])
+@pytest.mark.parametrize("method", ["Cholesky", "CholeskyHost", "CG"])
 def test_round_trip(system, method):
     v, f, M = system
     u = to_differential(M, v)
     v_back = from_differential(M, u, method)
     np.testing.assert_allclose(np.asarray(v_back), np.asarray(v), atol=5e-4)
+
+
+def test_dense_cholesky_refinement_tight(system):
+    """With iterative refinement the device solver should be ~f64-exact."""
+    v, f, M = system
+    u = to_differential(M, v)
+    v_back = from_differential(M, u, "Cholesky")
+    np.testing.assert_allclose(np.asarray(v_back), np.asarray(v), atol=2e-5)
+
+
+def test_dense_limit_cg_fallback(system):
+    from largesteps_tpu.core.solvers import CholeskySolver, solve as diff_solve
+    v, f, M = system
+    u = to_differential(M, v)
+    slv = CholeskySolver(M, dense_limit=4)     # force the CG fallback
+    assert slv.inv is None
+    x = diff_solve(slv, u)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(v), atol=5e-4)
 
 
 def test_cg_matches_cholesky(system):
