@@ -82,7 +82,8 @@ class Renderer:
     """
 
     def __init__(self, scene_params, shading: bool = True, boost: float = 1.0,
-                 chunk: int = 128, backend: str = "auto", bin_cap: int = 768):
+                 chunk: int = 128, backend: str = "auto", bin_cap: int = 768,
+                 aa_cap: int | None = None):
         near = scene_params["near_clip"]
         far = scene_params["far_clip"]
         self.fov_x = scene_params["fov"]
@@ -97,6 +98,7 @@ class Renderer:
         self.shading = bool(shading)
         self.chunk = int(chunk)
         self.bin_cap = int(bin_cap)
+        self.aa_cap = aa_cap   # boundary-pair capacity (None = auto)
         # backend: 'pallas' = tile-binned Pallas kernel forward (TPU;
         # ~50-80× the XLA scan's throughput) with the shared analytic
         # backward; 'xla' = pure-XLA reference path; 'auto' picks pallas
@@ -131,6 +133,7 @@ class Renderer:
             covered = rast[..., 3:4] != 0
             composited = jnp.where(covered, col, self.bgs)
             return antialias(composited, rast, v_ndc, faces,
-                             topology.opp, self.boost)
+                             topology.opp, self.boost, cap=self.aa_cap)
         col = interpolate(jnp.ones_like(v), rast, faces)
-        return antialias(col, rast, v_ndc, faces, topology.opp, self.boost)
+        return antialias(col, rast, v_ndc, faces, topology.opp, self.boost,
+                         cap=self.aa_cap)

@@ -182,3 +182,26 @@ def test_face_adjacency():
         for e in range(3):
             g = opp[fi, e]
             assert fi in opp[g]
+
+
+def test_antialias_sparse_matches_dense():
+    """The compacted boundary-pair path must equal the dense oracle exactly
+    (same math on the selected pairs; capacity auto-sized), for both the
+    image and the position gradient."""
+    from largesteps_tpu.render.antialias import antialias_dense
+
+    v, f = icosphere(2)
+    vc = clip_verts(v)
+    fj = jnp.asarray(f)
+    opp = face_adjacency(f)
+    H = W = 64
+    rast = rasterize(vc, fj, (H, W), 32)
+    col = interpolate(jnp.ones_like(jnp.asarray(v)), rast, fj)
+
+    out_s = antialias(col, rast, vc, fj, opp, 3.0)
+    out_d = antialias_dense(col, rast, vc, fj, opp, 3.0)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d), atol=1e-6)
+
+    g_s = jax.grad(lambda x: antialias(col, rast, x, fj, opp, 3.0).mean())(vc)
+    g_d = jax.grad(lambda x: antialias_dense(col, rast, x, fj, opp, 3.0).mean())(vc)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), atol=1e-6)
