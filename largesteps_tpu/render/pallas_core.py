@@ -1,0 +1,627 @@
+"""Fused Pallas TPU rasterization core: tile-binned forward
+(rasterize + attribute interpolation) and analytic backward kernels.
+
+This replaces the round-1 split pipeline (Pallas forward, dense per-pixel
+``jax.vjp`` XLA backward, XLA gather-based interpolate) whose cost was
+dominated by XLA's scalar-rate gathers/scatters.  Reference semantics are
+nvdiffrast's rasterize/interpolate pair (SURVEY §2.2 N1; used at
+scripts/render.py:206,213,219): per-pixel perspective-correct barycentrics
+(u, v), depth z/w, 1-based triangle id, and attribute interpolation
+``u·A₀ + v·A₁ + (1−u−v)·A₂`` with analytic gradients to clip-space vertex
+positions and to the attributes.
+
+TPU design
+----------
+* **Per-triangle setup (XLA, elementwise):** every per-pixel quantity the
+  kernel needs is an affine function of the pixel's NDC coordinates, so the
+  setup precomputes affine coefficients per triangle:
+  ``q0 = b0·iw0 = q0a·px + q0b·py + q0c`` (likewise q1, the perspective
+  denominator s = Σqᵢ, and depth), making the kernel's inner loop pure FMAs.
+* **Binning (XLA):** per (camera, tile) fixed-capacity triangle bins from a
+  1-pixel-expanded bbox/tile overlap test (the expansion lets the same bins
+  serve the antialias kernels, whose pair owners may sit one pixel outside
+  the tile).  Stable argsort compaction — measured faster on-chip than
+  scatter-based fills at suzanne scale.
+* **Forward kernel:** grid (camera, tile_y, tile_x); each program z-buffers
+  its bin's triangles over a (TILE_H, TILE_W) tile held in VMEM scratch.
+  Triangles are processed in unrolled chunks; per triangle only the
+  (8, TILE_W) row-bands its bbox touches are evaluated (``pl.when`` on
+  scalar bbox tests — the win over round 1, where every triangle paid for
+  the full tile).  Attribute interpolation happens in the same loop, so the
+  winner's color exits the kernel with zero XLA gathers.
+* **Backward kernel:** three phases per tile.  (A) a slot loop rebuilds
+  per-pixel owner fields by masked selects (``tid == fid``); (B) one dense
+  per-pixel pass computes the 18 analytic gradient fields (d sx/sy per
+  vertex, d iw per vertex, d attr per vertex·channel); (C) the per-pixel →
+  per-slot reduction runs on the MXU as one-hot matmuls per sublane row —
+  the TPU-idiomatic replacement for CUDA's atomic scatter.  Per-slot sums
+  are chained to clip-space gradients and segment-summed to vertices in XLA.
+
+The modular ops (raster.rasterize / raster.interpolate) remain the semantic
+oracle; tests compare this kernel against them in interpret mode on CPU.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "triangle_setup", "bin_triangles", "raster_fwd_pallas",
+    "raster_bwd_pallas", "render_core", "suggest_cap", "check_bin_overflow",
+]
+
+_BIG = 3.4e38
+TILE_H = 32
+TILE_W = 128
+_BANDS = TILE_H // 8
+
+# rec_fwd layout (F, 32) f32 — everything the forward z-loop needs:
+#   0..2   q0a q0b q0c     q0 = b0*iw0 = q0a*px + q0b*py + q0c
+#   3..5   q1a q1b q1c
+#   6..8   sa  sb  sc      s = q0 + q1 + q2 (perspective denominator)
+#   9..11  da  db  dc      depth z/w = da*px + db*py + dc
+#   12     ymin_px  13 ymax_px   (bbox pixel-row range, 1px expanded)
+#   14     fid (1-based, f32)
+#   15     pad
+#   16..24 P0 Q0 R0 P1 Q1 R1 P2 Q2 R2   color_c = u*Pc + v*Qc + Rc
+#   25..31 pad
+#
+# rec_bwd layout (F, 32) f32 — everything backward + antialias need:
+#   0..2   b0a b0b b0c     b0 = screen barycentric (affine in px,py)
+#   3..5   b1a b1b b1c
+#   6..8   iw0 iw1 iw2
+#   9..14  sx0 sy0 sx1 sy1 sx2 sy2
+#   15     inv_area
+#   16..21 P0 Q0 P1 Q1 P2 Q2   (attr diffs: Pc = A0c-A2c, Qc = A1c-A2c)
+#   22     fid (1-based)
+#   23..25 opp0 opp1 opp2  (1-based adjacent-face id per edge, 0 = boundary)
+#   26     ymin_px  27 ymax_px
+#   28..31 pad
+
+
+def triangle_setup(v_clip, faces, attrs, opp, height, width):
+    """Per-triangle setup for one camera.
+
+    v_clip (V, 4), faces (F, 3) int32, attrs (V, 3), opp (F, 3) int32.
+    Returns (rec_fwd (F, 32), rec_bwd (F, 32)).  Pure elementwise XLA —
+    one gather of the 3 vertex rows per triangle.
+    """
+    tri = v_clip[faces]                      # (F, 3, 4)
+    w = tri[..., 3]
+    valid = jnp.all(w > 1e-9, axis=1)
+    safe_w = jnp.where(w == 0, 1.0, w)
+    iw = jnp.where(valid[:, None], 1.0 / safe_w, 0.0)
+    sx = tri[..., 0] * iw
+    sy = tri[..., 1] * iw
+    zw = tri[..., 2] * iw
+
+    area = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) \
+        - (sy[:, 1] - sy[:, 0]) * (sx[:, 2] - sx[:, 0])
+    valid = valid & (jnp.abs(area) >= 1e-12)
+    inv_area = jnp.where(valid, 1.0 / jnp.where(area == 0, 1.0, area), 0.0)
+
+    # b0 = e0/area affine coefficients; e0 = cross(p2-p1, p-p1)
+    b0a = -(sy[:, 2] - sy[:, 1]) * inv_area
+    b0b = (sx[:, 2] - sx[:, 1]) * inv_area
+    b0c = (sx[:, 1] * (sy[:, 2] - sy[:, 1])
+           - sy[:, 1] * (sx[:, 2] - sx[:, 1])) * inv_area
+    # b1 = e1/area; e1 = cross(p0-p2, p-p2)
+    b1a = -(sy[:, 0] - sy[:, 2]) * inv_area
+    b1b = (sx[:, 0] - sx[:, 2]) * inv_area
+    b1c = (sx[:, 2] * (sy[:, 0] - sy[:, 2])
+           - sy[:, 2] * (sx[:, 0] - sx[:, 2])) * inv_area
+
+    q0a, q0b = b0a * iw[:, 0], b0b * iw[:, 0]
+    q1a, q1b = b1a * iw[:, 1], b1b * iw[:, 1]
+    # invalid triangles: q0 == -1 everywhere -> never covered
+    q0c = jnp.where(valid, b0c * iw[:, 0], -1.0)
+    q1c = jnp.where(valid, b1c * iw[:, 1], -1.0)
+    d02, d12 = iw[:, 0] - iw[:, 2], iw[:, 1] - iw[:, 2]
+    sa = b0a * d02 + b1a * d12
+    sb = b0b * d02 + b1b * d12
+    sc = b0c * d02 + b1c * d12 + iw[:, 2]
+    z02, z12 = zw[:, 0] - zw[:, 2], zw[:, 1] - zw[:, 2]
+    da = b0a * z02 + b1a * z12
+    db = b0b * z02 + b1b * z12
+    dc = b0c * z02 + b1c * z12 + zw[:, 2]
+
+    # bbox in pixel-row/col units, 1px expanded (shared with antialias)
+    ymin = (jnp.min(sy, axis=1) + 1.0) * (height / 2.0) - 0.5 - 1.0
+    ymax = (jnp.max(sy, axis=1) + 1.0) * (height / 2.0) - 0.5 + 1.0
+    ymin = jnp.where(valid, ymin, 1e9)
+    ymax = jnp.where(valid, ymax, -1e9)
+
+    F = faces.shape[0]
+    fid = jnp.arange(1, F + 1, dtype=jnp.float32)
+    A = attrs[faces]                          # (F, 3, 3) vertex attrs
+    P = A[:, 0] - A[:, 2]                     # (F, 3)
+    Q = A[:, 1] - A[:, 2]
+    R = A[:, 2]
+    pad = jnp.zeros_like(fid)
+
+    rec_fwd = jnp.stack([
+        q0a, q0b, q0c, q1a, q1b, q1c, sa, sb, sc, da, db, dc,
+        ymin, ymax, fid, pad,
+        P[:, 0], Q[:, 0], R[:, 0], P[:, 1], Q[:, 1], R[:, 1],
+        P[:, 2], Q[:, 2], R[:, 2],
+        pad, pad, pad, pad, pad, pad, pad,
+    ], axis=1)
+
+    opp1 = (jnp.asarray(opp) + 1).astype(jnp.float32)   # 0 = boundary
+    rec_bwd = jnp.stack([
+        b0a, b0b, b0c, b1a, b1b, b1c,
+        iw[:, 0], iw[:, 1], iw[:, 2],
+        sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
+        inv_area,
+        P[:, 0], Q[:, 0], P[:, 1], Q[:, 1], P[:, 2], Q[:, 2],
+        fid, opp1[:, 0], opp1[:, 1], opp1[:, 2],
+        ymin, ymax,
+        pad, pad, pad, pad,
+    ], axis=1)
+    return rec_fwd, rec_bwd
+
+
+def bin_triangles(rec_fwd, v_clip, faces, height, width, cap):
+    """Fixed-capacity per-tile triangle bins for one camera.
+
+    Overlap test uses the 1px-expanded bbox so the antialias kernels can
+    find pair owners that sit just across a tile border.  Returns
+    (bins (T, cap) int32 with -1 padding, counts (T,)) where
+    T = (height//TILE_H) * (width//TILE_W).
+    """
+    ty, tx = height // TILE_H, width // TILE_W
+    tri = v_clip[faces]
+    w = tri[..., 3]
+    safe_w = jnp.where(w == 0, 1.0, w)
+    iw = 1.0 / safe_w
+    sx = tri[..., 0] * iw
+    sy = tri[..., 1] * iw
+    xmin = (jnp.min(sx, axis=1) + 1.0) * (width / 2.0) - 0.5 - 1.0
+    xmax = (jnp.max(sx, axis=1) + 1.0) * (width / 2.0) - 0.5 + 1.0
+    ymin = rec_fwd[:, 12]
+    ymax = rec_fwd[:, 13]
+    valid = ymax > ymin                      # invalid rigged to empty range
+
+    ty0 = jnp.arange(ty, dtype=jnp.float32)[:, None, None] * TILE_H
+    tx0 = jnp.arange(tx, dtype=jnp.float32)[None, :, None] * TILE_W
+    overlap = (
+        (ymax[None, None, :] >= ty0) & (ymin[None, None, :] <= ty0 + TILE_H - 1)
+        & (xmax[None, None, :] >= tx0) & (xmin[None, None, :] <= tx0 + TILE_W - 1)
+        & valid[None, None, :]
+    )                                        # (TY, TX, F)
+    counts = overlap.sum(axis=-1)
+    order = jnp.argsort(~overlap, axis=-1, stable=True)
+    if order.shape[-1] < cap:
+        order = jnp.pad(order, ((0, 0), (0, 0), (0, cap - order.shape[-1])))
+    bins = order[..., :cap].astype(jnp.int32)
+    k = jax.lax.broadcasted_iota(jnp.int32, bins.shape, 2)
+    bins = jnp.where(k < jnp.minimum(counts, cap)[..., None], bins, -1)
+    return bins.reshape(ty * tx, cap), counts.reshape(ty * tx)
+
+
+def suggest_cap(max_count: int, chunk: int = 8) -> int:
+    """Round a measured max bin occupancy up to a kernel-friendly capacity."""
+    c = max(chunk * 4, int(max_count * 1.25))
+    return ((c + 127) // 128) * 128
+
+
+def check_bin_overflow(v_clip, faces, resolution, cap=None):
+    """Max bin occupancy over all cameras/tiles (host diagnostic)."""
+    height, width = resolution
+    faces = jnp.asarray(faces)
+    F = faces.shape[0]
+    dummy_attrs = jnp.zeros((v_clip.shape[1], 3), jnp.float32)
+    dummy_opp = jnp.zeros((F, 3), jnp.int32)
+
+    def per_cam(vc):
+        rec_fwd, _ = triangle_setup(vc, faces, dummy_attrs, dummy_opp,
+                                    height, width)
+        _, counts = bin_triangles(rec_fwd, vc, faces, height, width, 8)
+        return counts.max()
+
+    return int(jax.jit(jax.vmap(per_cam))(v_clip).max())
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(counts_ref, rec_ref, u_ref, v_ref, z_ref, fid_ref, slot_ref,
+                c0_ref, c1_ref, c2_ref,
+                zb, ub, vb, sb, fb, r0b, r1b, r2b,
+                *, cap, chunk, height, width):
+    ci = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    count = counts_ref[ci, ti, tj]
+
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(jnp.float32)
+    px = ((tj * TILE_W).astype(jnp.float32) + col + 0.5) * (2.0 / width) - 1.0
+    tile_y0 = (ti * TILE_H).astype(jnp.float32)
+
+    zb[...] = jnp.full((TILE_H, TILE_W), _BIG, jnp.float32)
+    ub[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    vb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    sb[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    fb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    r0b[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    r1b[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    r2b[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    def chunk_body(c, carry):
+        rec = rec_ref[0, 0, 0, pl.ds(c * chunk, chunk), :]    # (chunk, 32)
+        for k in range(chunk):
+            r = rec[k]
+            ymin, ymax, fid = r[12], r[13], r[14]
+            slot = (c * chunk + k).astype(jnp.float32)
+            for band in range(_BANDS):
+                y0 = tile_y0 + band * 8
+
+                @pl.when((ymax >= y0) & (ymin < y0 + 8.0) & (fid > 0.0))
+                def _():
+                    py = (y0 + row8 + 0.5) * (2.0 / height) - 1.0
+                    q0 = r[0] * px + r[1] * py + r[2]
+                    q1 = r[3] * px + r[4] * py + r[5]
+                    s = r[6] * px + r[7] * py + r[8]
+                    d = r[9] * px + r[10] * py + r[11]
+                    q2 = s - q0 - q1
+                    cov = (q0 >= 0.0) & (q1 >= 0.0) & (q2 >= 0.0) & (s > 0.0)
+                    dm = jnp.where(cov, d, _BIG)
+                    sl = slice(band * 8, band * 8 + 8)
+                    closer = dm < zb[sl]
+                    inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
+                    u = q0 * inv_s
+                    v = q1 * inv_s
+                    zb[sl] = jnp.where(closer, dm, zb[sl])
+                    ub[sl] = jnp.where(closer, u, ub[sl])
+                    vb[sl] = jnp.where(closer, v, vb[sl])
+                    sb[sl] = jnp.where(closer, slot, sb[sl])
+                    fb[sl] = jnp.where(closer, fid, fb[sl])
+                    r0b[sl] = jnp.where(closer, u * r[16] + v * r[17] + r[18], r0b[sl])
+                    r1b[sl] = jnp.where(closer, u * r[19] + v * r[20] + r[21], r1b[sl])
+                    r2b[sl] = jnp.where(closer, u * r[22] + v * r[23] + r[24], r2b[sl])
+        return carry
+
+    n_chunks = jnp.minimum((count + chunk - 1) // chunk, cap // chunk)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    covered = fb[...] > 0.0
+    u_ref[0] = ub[...]
+    v_ref[0] = vb[...]
+    z_ref[0] = jnp.where(covered, zb[...], 0.0)
+    fid_ref[0] = fb[...]
+    slot_ref[0] = jnp.where(covered, sb[...], -1.0)
+    c0_ref[0] = jnp.where(covered, r0b[...], 0.0)
+    c1_ref[0] = jnp.where(covered, r1b[...], 0.0)
+    c2_ref[0] = jnp.where(covered, r2b[...], 0.0)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "interpret"))
+def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
+                      interpret=None):
+    """Forward rasterize+interpolate from pre-binned records.
+
+    rec_fwd_b (C, TY, TX, cap, 32), counts_b (C, TY, TX) int32.
+    Returns (u, v, z, fid, slot, col0, col1, col2), each (C, H, W) f32.
+    """
+    height, width = resolution
+    if interpret is None:
+        interpret = _interpret()
+    C, ty, tx = counts_b.shape
+    kernel = partial(_fwd_kernel, cap=cap, chunk=chunk,
+                     height=height, width=width)
+    out_shape = [jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C, ty, tx),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, cap, 32),
+                         lambda c, i, j, counts: (c, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W),
+                         lambda c, i, j, counts: (c, i, j),
+                         memory_space=pltpu.VMEM)
+        ] * 8,
+        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 8,
+    )
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )(counts_b, rec_fwd_b)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+# Analytic gradient of (u, v, color) w.r.t. screen coordinates, inverse-w and
+# attributes of the owning triangle (nvdiffrast's rasterize+interpolate
+# backward semantics, SURVEY N1).  Derivation lives in the per-pixel math in
+# phase B below; per-slot sums come out of phase C's MXU one-hot matmuls.
+# Chaining screen-space (dsx, dsy, diw) to clip coordinates happens in XLA
+# (see _chain_to_clip).
+
+_NQ = 18   # dsx0,dsy0,dsx1,dsy1,dsx2,dsy2, diw0..2, dA00,dA01,dA02,... dA22
+
+
+def _bwd_kernel(counts_ref, rec_ref, slot_ref, dc0_ref, dc1_ref, dc2_ref,
+                du_ref, dv_ref, out_ref, *fields,
+                cap, chunk, height, width):
+    ci = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    count = counts_ref[ci, ti, tj]
+    (b0p, b1p, iw0p, iw1p, iw2p, sx0p, sy0p, sx1p, sy1p, sx2p, sy2p,
+     invap, p0p, q0p, p1p, q1p, p2p, q2p) = fields
+
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(jnp.float32)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    px_full = ((tj * TILE_W).astype(jnp.float32) + colf + 0.5) * (2.0 / width) - 1.0
+    py_full = ((ti * TILE_H).astype(jnp.float32) + rowf + 0.5) * (2.0 / height) - 1.0
+    px8 = ((tj * TILE_W).astype(jnp.float32) + row8 * 0 +
+           jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(jnp.float32)
+           + 0.5) * (2.0 / width) - 1.0
+    tile_y0 = (ti * TILE_H).astype(jnp.float32)
+
+    for f_ in fields:
+        f_[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    slot_plane = slot_ref[0]
+
+    # ---- phase A: per-pixel owner fields via masked selects -------------
+    def chunk_body(c, carry):
+        rec = rec_ref[0, 0, 0, pl.ds(c * chunk, chunk), :]
+        for k in range(chunk):
+            r = rec[k]
+            ymin, ymax = r[26], r[27]
+            slotval = (c * chunk + k).astype(jnp.float32)
+            for band in range(_BANDS):
+                y0 = tile_y0 + band * 8
+
+                @pl.when((ymax >= y0) & (ymin < y0 + 8.0))
+                def _():
+                    sl = slice(band * 8, band * 8 + 8)
+                    py = (y0 + row8 + 0.5) * (2.0 / height) - 1.0
+                    m = slot_plane[sl] == slotval
+                    b0 = r[0] * px8 + r[1] * py + r[2]
+                    b1 = r[3] * px8 + r[4] * py + r[5]
+                    b0p[sl] = jnp.where(m, b0, b0p[sl])
+                    b1p[sl] = jnp.where(m, b1, b1p[sl])
+                    iw0p[sl] = jnp.where(m, r[6], iw0p[sl])
+                    iw1p[sl] = jnp.where(m, r[7], iw1p[sl])
+                    iw2p[sl] = jnp.where(m, r[8], iw2p[sl])
+                    sx0p[sl] = jnp.where(m, r[9], sx0p[sl])
+                    sy0p[sl] = jnp.where(m, r[10], sy0p[sl])
+                    sx1p[sl] = jnp.where(m, r[11], sx1p[sl])
+                    sy1p[sl] = jnp.where(m, r[12], sy1p[sl])
+                    sx2p[sl] = jnp.where(m, r[13], sx2p[sl])
+                    sy2p[sl] = jnp.where(m, r[14], sy2p[sl])
+                    invap[sl] = jnp.where(m, r[15], invap[sl])
+                    p0p[sl] = jnp.where(m, r[16], p0p[sl])
+                    q0p[sl] = jnp.where(m, r[17], q0p[sl])
+                    p1p[sl] = jnp.where(m, r[18], p1p[sl])
+                    q1p[sl] = jnp.where(m, r[19], q1p[sl])
+                    p2p[sl] = jnp.where(m, r[20], p2p[sl])
+                    q2p[sl] = jnp.where(m, r[21], q2p[sl])
+        return carry
+
+    n_chunks = jnp.minimum((count + chunk - 1) // chunk, cap // chunk)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    # ---- phase B: dense per-pixel gradient math --------------------------
+    dc0, dc1, dc2 = dc0_ref[0], dc1_ref[0], dc2_ref[0]
+    b0, b1 = b0p[...], b1p[...]
+    iw0, iw1, iw2 = iw0p[...], iw1p[...], iw2p[...]
+    du = dc0 * p0p[...] + dc1 * p1p[...] + dc2 * p2p[...] + du_ref[0]
+    dv = dc0 * q0p[...] + dc1 * q1p[...] + dc2 * q2p[...] + dv_ref[0]
+    b2 = 1.0 - b0 - b1
+    s = b0 * iw0 + b1 * iw1 + b2 * iw2
+    inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
+    u = b0 * iw0 * inv_s
+    v = b1 * iw1 * inv_s
+    dA00, dA01, dA02 = dc0 * u, dc1 * u, dc2 * u
+    dA10, dA11, dA12 = dc0 * v, dc1 * v, dc2 * v
+    w2 = jnp.where(s == 0.0, 0.0, 1.0 - u - v)
+    dA20, dA21, dA22 = dc0 * w2, dc1 * w2, dc2 * w2
+    h = du * u + dv * v
+    db0 = (du * iw0 - h * (iw0 - iw2)) * inv_s
+    db1 = (dv * iw1 - h * (iw1 - iw2)) * inv_s
+    diw0 = b0 * (du - h) * inv_s
+    diw1 = b1 * (dv - h) * inv_s
+    diw2 = -h * b2 * inv_s
+    inva = invap[...]
+    g0 = db0 * inva
+    g1 = db1 * inva
+    garea = -(b0 * db0 + b1 * db1) * inva
+    sx0, sy0 = sx0p[...], sy0p[...]
+    sx1, sy1 = sx1p[...], sy1p[...]
+    sx2, sy2 = sx2p[...], sy2p[...]
+    dsx0 = g1 * (py_full - sy2) + garea * (sy1 - sy2)
+    dsy0 = g1 * (sx2 - px_full) + garea * (sx2 - sx1)
+    dsx1 = g0 * (sy2 - py_full) + garea * (sy2 - sy0)
+    dsy1 = g0 * (px_full - sx2) + garea * (sx0 - sx2)
+    dsx2 = g0 * (py_full - sy1) + g1 * (sy0 - py_full) + garea * (sy0 - sy1)
+    dsy2 = g0 * (sx1 - px_full) + g1 * (px_full - sx0) + garea * (sx1 - sx0)
+
+    quantities = (dsx0, dsy0, dsx1, dsy1, dsx2, dsy2, diw0, diw1, diw2,
+                  dA00, dA01, dA02, dA10, dA11, dA12, dA20, dA21, dA22)
+
+    # ---- phase C: per-pixel -> per-slot reduction on the MXU -------------
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, TILE_W), 0).astype(jnp.float32)
+    acc = jnp.zeros((cap, _NQ), jnp.float32)
+    for r_ in range(TILE_H):
+        oh = (slot_iota == slot_plane[r_:r_ + 1, :]).astype(jnp.float32)
+        G = jnp.concatenate([q[r_:r_ + 1, :] for q in quantities], axis=0)
+        acc = acc + jax.lax.dot_general(
+            oh, G, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_ref[0, 0, 0] = jnp.pad(acc, ((0, 0), (0, 32 - _NQ)))
+
+
+@partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "interpret"))
+def raster_bwd_pallas(rec_bwd_b, counts_b, slot, d_col, d_u, d_v,
+                      resolution, cap, chunk=8, interpret=None):
+    """Backward: per-(camera, tile, slot) gradient sums.
+
+    rec_bwd_b (C, TY, TX, cap, 32); slot (C, H, W) f32 (-1 = background);
+    d_col (C, H, W, 3) cotangent on the interpolated color; d_u/d_v
+    (C, H, W) cotangents on the u/v outputs.  Returns (C, TY, TX, cap, 32)
+    where the first 18 columns are
+    [dsx0 dsy0 dsx1 dsy1 dsx2 dsy2 diw0 diw1 diw2 dA00..dA22].
+    """
+    height, width = resolution
+    if interpret is None:
+        interpret = _interpret()
+    C, ty, tx = counts_b.shape
+    kernel = partial(_bwd_kernel, cap=cap, chunk=chunk,
+                     height=height, width=width)
+    plane = pl.BlockSpec((1, TILE_H, TILE_W),
+                         lambda c, i, j, counts: (c, i, j),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C, ty, tx),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, cap, 32),
+                         lambda c, i, j, counts: (c, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            plane, plane, plane, plane, plane, plane,
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, cap, 32),
+                               lambda c, i, j, counts: (c, i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 18,
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, ty, tx, cap, 32), jnp.float32),
+        interpret=interpret,
+    )(counts_b, rec_bwd_b, slot,
+      d_col[..., 0], d_col[..., 1], d_col[..., 2], d_u, d_v)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: binning for all cameras, slot-gradient chaining, vertex scatter
+# ---------------------------------------------------------------------------
+
+def _setup_and_bin(v_clip, faces, attrs, opp, height, width, cap):
+    """vmapped setup+binning: returns (rec_fwd_b, rec_bwd_b, bins, counts)
+    with shapes (C, TY, TX, cap, 32) ×2, (C, TY, TX, cap), (C, TY, TX)."""
+    ty, tx = height // TILE_H, width // TILE_W
+
+    def per_cam(vc):
+        rec_fwd, rec_bwd = triangle_setup(vc, faces, attrs, opp, height, width)
+        bins, counts = bin_triangles(rec_fwd, vc, faces, height, width, cap)
+        safe = jnp.maximum(bins, 0)
+        live = (bins >= 0)[..., None]
+        rfb = jnp.where(live, rec_fwd[safe], 0.0)
+        rbb = jnp.where(live, rec_bwd[safe], 0.0)
+        return (rfb.reshape(ty, tx, cap, 32), rbb.reshape(ty, tx, cap, 32),
+                bins.reshape(ty, tx, cap),
+                jnp.minimum(counts, cap).astype(jnp.int32).reshape(ty, tx))
+
+    return jax.vmap(per_cam)(v_clip)
+
+
+def _chain_to_clip(dslot, rec_bwd_b):
+    """Chain per-slot screen-space sums to clip-space vertex gradients.
+
+    dslot (C, TY, TX, cap, 32) from the backward kernels (first 9 columns
+    dsx0 dsy0 dsx1 dsy1 dsx2 dsy2 diw0 diw1 diw2).  Returns
+    dclip (C, TY, TX, cap, 3, 4) — per-slot per-vertex (dx, dy, dz=0, dw).
+    sx = x/w ⇒ ∂sx/∂x = iw, ∂sx/∂w = −sx·iw; iw = 1/w ⇒ ∂iw/∂w = −iw².
+    """
+    iw = rec_bwd_b[..., 6:9]                              # (..., 3)
+    sx = rec_bwd_b[..., 9:15:2]
+    sy = rec_bwd_b[..., 10:15:2]
+    dsx = dslot[..., 0:6:2]
+    dsy = dslot[..., 1:6:2]
+    diw = dslot[..., 6:9]
+    dx = dsx * iw
+    dy = dsy * iw
+    dw = -iw * iw * diw - iw * (dsx * sx + dsy * sy)
+    dz = jnp.zeros_like(dx)
+    return jnp.stack([dx, dy, dz, dw], axis=-1)           # (..., 3, 4)
+
+
+def _scatter_to_vertices(dclip, dA, bins, faces, n_verts, segment_fn=None):
+    """Per-slot per-vertex grads -> (C, V, 4) clip grads and (V, 3) attr grads.
+
+    dclip (C, TY, TX, cap, 3, 4); dA (C, TY, TX, cap, 3, 3) with vertex-major
+    layout [dA0c dA1c dA2c]; bins (C, TY, TX, cap) int32 (-1 padding)."""
+    if segment_fn is None:
+        segment_fn = lambda d, i, n: jax.ops.segment_sum(d, i, num_segments=n)
+    C = dclip.shape[0]
+    tri = jnp.maximum(bins, 0)
+    vids = jnp.where((bins >= 0)[..., None], faces[tri], n_verts)  # (C,TY,TX,cap,3)
+
+    flat_ids = vids.reshape(C, -1)                        # (C, S*3)
+    flat_dclip = dclip.reshape(C, -1, 4)
+    dv = jax.vmap(lambda d, i: segment_fn(d, i, n_verts + 1))(flat_dclip, flat_ids)
+    dv = dv[:, :n_verts]                                  # (C, V, 4)
+
+    flat_dA = dA.reshape(-1, 3)
+    da = segment_fn(flat_dA, vids.reshape(-1), n_verts + 1)[:n_verts]
+    return dv, da
+
+
+# ---------------------------------------------------------------------------
+# render_core: differentiable fused rasterize+interpolate
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def render_core(v_clip, attrs, faces, opp, resolution, cap=768, chunk=8):
+    """Fused differentiable rasterize + attribute interpolation.
+
+    v_clip (C, V, 4), attrs (V, 3); faces/opp static (F, 3) numpy int32.
+    Returns (rast (C, H, W, 4) with nvdiffrast channels (u, v, z/w, fid),
+    slot (C, H, W) f32 bin-slot map (-1 background), color (C, H, W, 3)).
+    Gradients flow to v_clip (through u, v and color) and attrs (through
+    color).  z/fid/slot are non-differentiable, matching nvdiffrast.
+    """
+    out, _ = _render_core_fwd(v_clip, attrs, faces, opp, resolution, cap, chunk)
+    return out
+
+
+def _render_core_fwd(v_clip, attrs, faces, opp, resolution, cap, chunk):
+    height, width = resolution
+    fj = jnp.asarray(faces)
+    oj = jnp.asarray(opp)
+    rfb, rbb, bins, counts = _setup_and_bin(v_clip, fj, attrs, oj,
+                                            height, width, cap)
+    u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
+        rfb, counts, resolution, cap, chunk)
+    rast = jnp.stack([u, v, z, fid], axis=-1)
+    color = jnp.stack([c0, c1, c2], axis=-1)
+    res = (rbb, bins, counts, slot, v_clip.shape[1])
+    return (rast, slot, color), res
+
+
+def _render_core_bwd(faces, opp, resolution, cap, chunk, res, g):
+    d_rast, _, d_color = g
+    rbb, bins, counts, slot, n_verts = res
+    dslot = raster_bwd_pallas(rbb, counts, slot, d_color,
+                              d_rast[..., 0], d_rast[..., 1],
+                              resolution, cap, chunk)
+    dclip = _chain_to_clip(dslot, rbb)
+    dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
+    fj = jnp.asarray(faces)
+    dv_clip, d_attrs = _scatter_to_vertices(dclip, dA, bins, fj, n_verts)
+    return dv_clip, d_attrs
+
+
+render_core.defvjp(_render_core_fwd, _render_core_bwd)
