@@ -625,3 +625,396 @@ def _render_core_bwd(faces, opp, resolution, cap, chunk, res, g):
 
 
 render_core.defvjp(_render_core_fwd, _render_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Antialias kernels (nvdiffrast dr.antialias semantics, SURVEY N1; used at
+# scripts/render.py:216,220)
+# ---------------------------------------------------------------------------
+# For each adjacent pixel pair (horizontal and vertical) whose triangle ids
+# differ, find the first silhouette edge of the nearer triangle crossing the
+# segment between the pixel centers; blend color across the pair by the
+# crossing parameter t.  Pairs are anchored at the left/top pixel; the
+# correction to the right/bottom pixel exits the kernel as an unshifted
+# delta_b plane that XLA shifts by one pixel and adds (this keeps the kernel
+# free of cross-tile spills).  The oracle is antialias.antialias_dense.
+#
+# Discrete choices (which pair, edge, owner) follow the oracle's stop-grad
+# placement: only the crossing parameter t is differentiable, through the
+# edge functions ea/eb, to the two edge endpoints' screen coordinates.
+
+def _aa_owner_fields(count, rec_ref, slot_own_h, slot_own_v, own_h, own_v,
+                     fields_h, fields_v, tile_y0, row8, cap, chunk):
+    """Phase A: select the owner triangle's screen coords / opp ids per pixel
+    for the horizontal and vertical pair owners."""
+    def chunk_body(c, carry):
+        rec = rec_ref[0, 0, 0, pl.ds(c * chunk, chunk), :]
+        for k in range(chunk):
+            r = rec[k]
+            ymin, ymax, fid = r[26], r[27], r[22]
+            slotval = (c * chunk + k).astype(jnp.float32)
+            for band in range(_BANDS):
+                y0 = tile_y0 + band * 8
+
+                @pl.when((ymax >= y0 - 1.0) & (ymin < y0 + 9.0))
+                def _():
+                    sl = slice(band * 8, band * 8 + 8)
+                    for own, slot_own, fields in (
+                            (own_h, slot_own_h, fields_h),
+                            (own_v, slot_own_v, fields_v)):
+                        m = own[sl] == fid
+                        for fi, col_idx in enumerate(
+                                (9, 10, 11, 12, 13, 14, 23, 24, 25)):
+                            fields[fi][sl] = jnp.where(m, r[col_idx],
+                                                       fields[fi][sl])
+                        slot_own[sl] = jnp.where(m, slotval, slot_own[sl])
+        return carry
+
+    n_chunks = jnp.minimum((count + chunk - 1) // chunk, cap // chunk)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _aa_pair_t(fields, pax, pay, d_ex, d_ey, other_fid):
+    """Dense crossing-parameter math for one pair direction.
+
+    fields: 9 per-pixel owner planes (sx0 sy0 sx1 sy1 sx2 sy2 opp1 opp2 opp3);
+    (pax, pay) anchor pixel centers; (d_ex, d_ey) the NDC offset to the pair
+    neighbor.  Returns (t, found, dt_to_endpoints-callback inputs):
+    per-pixel (t, found, per-edge take masks and ea/eb/denoms for bwd reuse).
+    """
+    sxs = (fields[0], fields[2], fields[4])
+    sys_ = (fields[1], fields[3], fields[5])
+    opps = (fields[6], fields[7], fields[8])
+    best_t = jnp.zeros_like(pax)
+    found = jnp.zeros_like(pax, dtype=jnp.bool_)
+    takes, geos = [], []
+    for e in range(3):
+        ax, ay = sxs[e], sys_[e]
+        bx, by = sxs[(e + 1) % 3], sys_[(e + 1) % 3]
+        ex, ey = bx - ax, by - ay
+        ea = ex * (pay - ay) - ey * (pax - ax)
+        eb = ea + ex * d_ey - ey * d_ex
+        separates = (ea > 0.0) != (eb > 0.0)
+        denom = ea - eb
+        safe_den = jnp.where(denom == 0.0, 1.0, denom)
+        t = ea / safe_den
+        cx = pax + t * d_ex
+        cy = pay + t * d_ey
+        along = (cx - ax) * ex + (cy - ay) * ey
+        within = (along >= 0.0) & (along <= ex * ex + ey * ey)
+        silhouette = (other_fid == 0.0) | (opps[e] != other_fid)
+        valid = separates & within & silhouette
+        take = valid & ~found
+        best_t = jnp.where(take, t, best_t)
+        found = found | valid
+        takes.append(take)
+        geos.append((ea, eb, safe_den, ax, ay, bx, by))
+    return best_t, found, takes, geos
+
+
+def _aa_common(fid, z, fid_n, z_n):
+    """Owner/other ids for one pair direction (bg depth = +inf)."""
+    da = jnp.where(fid > 0.0, z, _BIG)
+    db = jnp.where(fid_n > 0.0, z_n, _BIG)
+    owner_is_a = da <= db
+    owner = jnp.where(owner_is_a, fid, fid_n)
+    other = jnp.where(owner_is_a, fid_n, fid)
+    differs = fid != fid_n
+    return owner, other, differs
+
+
+def _aa_fwd_kernel(counts_ref, rec_ref,
+                   fid_ref, z_ref, fidr_ref, zr_ref, fidd_ref, zd_ref,
+                   *rest, cap, chunk, height, width, D):
+    col_refs = rest[:D]
+    colr_refs = rest[D:2 * D]
+    cold_refs = rest[2 * D:3 * D]
+    out_refs = rest[3 * D:4 * D]
+    dbh_refs = rest[4 * D:5 * D]
+    dbv_refs = rest[5 * D:6 * D]
+    scratch = rest[6 * D:]
+    (slot_own_h, slot_own_v) = scratch[0], scratch[1]
+    fields_h = scratch[2:11]
+    fields_v = scratch[11:20]
+
+    ci = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    count = counts_ref[ci, ti, tj]
+    tile_y0 = (ti * TILE_H).astype(jnp.float32)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(jnp.float32)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    pax = ((tj * TILE_W).astype(jnp.float32) + colf + 0.5) * (2.0 / width) - 1.0
+    pay = ((ti * TILE_H).astype(jnp.float32) + rowf + 0.5) * (2.0 / height) - 1.0
+    dxw = 2.0 / width
+    dyh = 2.0 / height
+
+    fid, z = fid_ref[0], z_ref[0]
+    own_h, oth_h, dif_h = _aa_common(fid, z, fidr_ref[0], zr_ref[0])
+    own_v, oth_v, dif_v = _aa_common(fid, z, fidd_ref[0], zd_ref[0])
+
+    for s in scratch:
+        s[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    slot_own_h[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    slot_own_v[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+
+    _aa_owner_fields(count, rec_ref, slot_own_h, slot_own_v, own_h, own_v,
+                     [f for f in fields_h], [f for f in fields_v],
+                     tile_y0, row8, cap, chunk)
+
+    t_h, found_h, _, _ = _aa_pair_t([f[...] for f in fields_h],
+                                    pax, pay, dxw, 0.0, oth_h)
+    t_v, found_v, _, _ = _aa_pair_t([f[...] for f in fields_v],
+                                    pax, pay, 0.0, dyh, oth_v)
+    act_h = dif_h & (own_h > 0.0) & found_h
+    act_v = dif_v & (own_v > 0.0) & found_v
+    wa_h = jnp.where(act_h & (t_h < 0.5), 0.5 - t_h, 0.0)
+    wb_h = jnp.where(act_h & (t_h >= 0.5), t_h - 0.5, 0.0)
+    wa_v = jnp.where(act_v & (t_v < 0.5), 0.5 - t_v, 0.0)
+    wb_v = jnp.where(act_v & (t_v >= 0.5), t_v - 0.5, 0.0)
+
+    for c in range(D):
+        col = col_refs[c][0]
+        dh = colr_refs[c][0] - col
+        dv_ = cold_refs[c][0] - col
+        out_refs[c][0] = col + wa_h * dh + wa_v * dv_
+        dbh_refs[c][0] = -wb_h * dh
+        dbv_refs[c][0] = -wb_v * dv_
+
+
+def _plane_spec():
+    return pl.BlockSpec((1, TILE_H, TILE_W),
+                        lambda c, i, j, counts: (c, i, j),
+                        memory_space=pltpu.VMEM)
+
+
+def _shift_left(x):
+    """Right-neighbor value (edge-replicated): works on (C, H, W[, D])."""
+    return jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+
+
+def _shift_up(x):
+    """Down-neighbor value (edge-replicated; row 0 is the image bottom)."""
+    return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+
+
+def _shift_right_ch(x):
+    """Push values one pixel toward larger column index (zero fill)."""
+    return jnp.concatenate([jnp.zeros_like(x[:, :, :1]), x[:, :, :-1]], axis=2)
+
+
+def _shift_down_ch(x):
+    return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "D", "interpret"))
+def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
+                  chunk=8, D=4, interpret=None):
+    """Antialias forward.  color (C, H, W, D) -> antialiased (C, H, W, D).
+
+    The last row/column pairs wrap onto themselves via edge-replicated
+    shifts; replicated neighbors never differ, so no spurious pairs arise
+    (the image boundary has no pair partner, as in the oracle)."""
+    height, width = resolution
+    if interpret is None:
+        interpret = _interpret()
+    C, ty, tx = counts_b.shape
+    fid_r, z_r = _shift_left(fid), _shift_left(z)
+    fid_d, z_d = _shift_up(fid), _shift_up(z)
+    col_r = _shift_left(color)
+    col_d = _shift_up(color)
+
+    kernel = partial(_aa_fwd_kernel, cap=cap, chunk=chunk,
+                     height=height, width=width, D=D)
+    n_in_planes = 6 + 3 * D
+    n_out = 3 * D
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C, ty, tx),
+        in_specs=[pl.BlockSpec((1, 1, 1, cap, 32),
+                               lambda c, i, j, counts: (c, i, j, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [_plane_spec()] * n_in_planes,
+        out_specs=[_plane_spec()] * n_out,
+        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 20,
+    )
+    chans = lambda a: [a[..., c] for c in range(D)]
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * n_out,
+        interpret=interpret,
+    )(counts_b, rec_bwd_b, fid, z, fid_r, z_r, fid_d, z_d,
+      *chans(color), *chans(col_r), *chans(col_d))
+    out = jnp.stack(outs[:D], axis=-1)
+    db_h = jnp.stack(outs[D:2 * D], axis=-1)
+    db_v = jnp.stack(outs[2 * D:], axis=-1)
+    return out + _shift_right_ch(db_h) + _shift_down_ch(db_v)
+
+
+
+
+def _aa_bwd_kernel(counts_ref, rec_ref,
+                   fid_ref, z_ref, fidr_ref, zr_ref, fidd_ref, zd_ref,
+                   *rest, cap, chunk, height, width, D):
+    col_refs = rest[:D]
+    colr_refs = rest[D:2 * D]
+    cold_refs = rest[2 * D:3 * D]
+    dout_refs = rest[3 * D:4 * D]
+    doutr_refs = rest[4 * D:5 * D]
+    doutd_refs = rest[5 * D:6 * D]
+    dcol_refs = rest[6 * D:7 * D]
+    dbh_refs = rest[7 * D:8 * D]
+    dbv_refs = rest[8 * D:9 * D]
+    dslot_ref = rest[9 * D]
+    scratch = rest[9 * D + 1:]
+    slot_own_h, slot_own_v = scratch[0], scratch[1]
+    fields_h = scratch[2:11]
+    fields_v = scratch[11:20]
+
+    ci = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    count = counts_ref[ci, ti, tj]
+    tile_y0 = (ti * TILE_H).astype(jnp.float32)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(jnp.float32)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    pax = ((tj * TILE_W).astype(jnp.float32) + colf + 0.5) * (2.0 / width) - 1.0
+    pay = ((ti * TILE_H).astype(jnp.float32) + rowf + 0.5) * (2.0 / height) - 1.0
+    dxw = 2.0 / width
+    dyh = 2.0 / height
+
+    fid, z = fid_ref[0], z_ref[0]
+    own_h, oth_h, dif_h = _aa_common(fid, z, fidr_ref[0], zr_ref[0])
+    own_v, oth_v, dif_v = _aa_common(fid, z, fidd_ref[0], zd_ref[0])
+
+    for s in scratch:
+        s[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    slot_own_h[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    slot_own_v[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+
+    _aa_owner_fields(count, rec_ref, slot_own_h, slot_own_v, own_h, own_v,
+                     [f for f in fields_h], [f for f in fields_v],
+                     tile_y0, row8, cap, chunk)
+
+    for c in range(D):
+        dcol_refs[c][0] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    dsx = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(3)]
+    dsy = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(3)]
+
+    for (fields, oth, dif, own, d_ex, d_ey, coln_refs, doutn_refs,
+         dcolb_refs) in (
+            (fields_h, oth_h, dif_h, own_h, dxw, 0.0, colr_refs, doutr_refs,
+             dbh_refs),
+            (fields_v, oth_v, dif_v, own_v, 0.0, dyh, cold_refs, doutd_refs,
+             dbv_refs)):
+        fvals = [f[...] for f in fields]
+        t, found, takes, geos = _aa_pair_t(fvals, pax, pay, d_ex, d_ey, oth)
+        act = dif & (own > 0.0) & found
+        lo = act & (t < 0.5)
+        hi = act & (t >= 0.5)
+        wa = jnp.where(lo, 0.5 - t, 0.0)
+        wb = jnp.where(hi, t - 0.5, 0.0)
+        # color gradients
+        dt = jnp.zeros_like(t)
+        for c in range(D):
+            diff = coln_refs[c][0] - col_refs[c][0]
+            dout = dout_refs[c][0]
+            doutn = doutn_refs[c][0]
+            dcol_refs[c][0] += -wa * dout + wb * doutn
+            dcolb_refs[c][0] = wa * dout - wb * doutn
+            dt = dt - diff * jnp.where(lo, dout, jnp.where(hi, doutn, 0.0))
+        # t -> edge endpoints (only the winning edge's take mask is set)
+        pbx = pax + d_ex
+        pby = pay + d_ey
+        for e in range(3):
+            take = takes[e]
+            ea, eb, den, ax, ay, bx, by = geos[e]
+            dtm = jnp.where(take, dt, 0.0)
+            inv_d2 = 1.0 / (den * den)
+            dea = dtm * (-eb) * inv_d2
+            deb = dtm * ea * inv_d2
+            dax = dea * (by - pay) + deb * (by - pby)
+            day = dea * (pax - bx) + deb * (pbx - bx)
+            dbx = dea * (pay - ay) + deb * (pby - ay)
+            dby = dea * (ax - pax) + deb * (ax - pbx)
+            j0, j1 = e, (e + 1) % 3
+            dsx[j0] = dsx[j0] + dax
+            dsy[j0] = dsy[j0] + day
+            dsx[j1] = dsx[j1] + dbx
+            dsy[j1] = dsy[j1] + dby
+
+        # phase C: per-slot endpoint sums (keyed by this direction's owner)
+        slot_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (cap, TILE_W), 0).astype(jnp.float32)
+        slot_own = slot_own_h if d_ey == 0.0 else slot_own_v
+        quantities = (dsx[0], dsy[0], dsx[1], dsy[1], dsx[2], dsy[2])
+        acc = jnp.zeros((cap, 8), jnp.float32)
+        for r_ in range(TILE_H):
+            oh = (slot_iota == slot_own[r_:r_ + 1, :]).astype(jnp.float32)
+            G = jnp.concatenate(
+                [q[r_:r_ + 1, :] for q in quantities]
+                + [jnp.zeros((2, TILE_W), jnp.float32)], axis=0)
+            acc = acc + jax.lax.dot_general(
+                oh, G, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        if d_ey == 0.0:
+            dslot_ref[0, 0, 0] = acc
+        else:
+            dslot_ref[0, 0, 0] += acc
+        dsx = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(3)]
+        dsy = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(3)]
+
+
+@partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "D", "interpret"))
+def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
+                  chunk=8, D=4, interpret=None):
+    """Antialias backward.
+
+    Returns (d_color (C, H, W, D), dslot_aa (C, TY, TX, cap, 8) whose first
+    6 columns are [dsx0 dsy0 dsx1 dsy1 dsx2 dsy2] per owner slot)."""
+    height, width = resolution
+    if interpret is None:
+        interpret = _interpret()
+    C, ty, tx = counts_b.shape
+    fid_r, z_r = _shift_left(fid), _shift_left(z)
+    fid_d, z_d = _shift_up(fid), _shift_up(z)
+    col_r = _shift_left(color)
+    col_d = _shift_up(color)
+    dout_r = _shift_left(d_out)
+    dout_d = _shift_up(d_out)
+
+    kernel = partial(_aa_bwd_kernel, cap=cap, chunk=chunk,
+                     height=height, width=width, D=D)
+    n_in_planes = 6 + 6 * D
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C, ty, tx),
+        in_specs=[pl.BlockSpec((1, 1, 1, cap, 32),
+                               lambda c, i, j, counts: (c, i, j, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [_plane_spec()] * n_in_planes,
+        out_specs=[_plane_spec()] * (3 * D)
+        + [pl.BlockSpec((1, 1, 1, cap, 8),
+                        lambda c, i, j, counts: (c, i, j, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 20,
+    )
+    chans = lambda a: [a[..., c] for c in range(D)]
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * (3 * D)
+        + [jax.ShapeDtypeStruct((C, ty, tx, cap, 8), jnp.float32)],
+        interpret=interpret,
+    )(counts_b, rec_bwd_b, fid, z, fid_r, z_r, fid_d, z_d,
+      *chans(color), *chans(col_r), *chans(col_d),
+      *chans(d_out), *chans(dout_r), *chans(dout_d))
+    dcol = jnp.stack(outs[:D], axis=-1) + d_out
+    db_h = jnp.stack(outs[D:2 * D], axis=-1)
+    db_v = jnp.stack(outs[2 * D:3 * D], axis=-1)
+    dcol = dcol + _shift_right_ch(db_h) + _shift_down_ch(db_v)
+    return dcol, outs[3 * D]
