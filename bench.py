@@ -1,15 +1,19 @@
-"""End-to-end benchmark: optimization iterations/second on one TPU chip.
+"""End-to-end and component benchmarks on one TPU chip.
 
-Metric mirrors the reference's equal-time protocol (BASELINE.md): full
-pipeline throughput — differentiable solve (Cholesky) + shaded multi-view
-render fwd/bwd + AdamUniform step — on a suzanne-class problem.  The
-reference's implied numbers on a TITAN RTX are 30.3–36.0 it/s across the six
-comparison scenes (mean ≈ 31.6 it/s, BASELINE.md table); since the original
-scene assets are a separate download, the workload here is a synthesized
-scene of matching scale: ~2.5k-vertex source sphere, organic target, 13
-viewpoints at 256×256, shading + antialiasing, λ=19.
+Headline metric (printed LAST): optimization iterations/second on the
+reference's equal-time protocol workload (BASELINE.md) — full pipeline
+throughput: differentiable solve (Cholesky) + shaded 13-view 256x256 render
+fwd/bwd with antialiasing + AdamUniform step, suzanne-class mesh (~2.5k
+verts).  The reference implies 30.3-36.0 it/s on a TITAN RTX (mean ~31.6).
 
-Prints ONE JSON line:  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Also prints one JSON line per BASELINE.json component metric:
+  * from_differential solve ms (Cholesky 2.5k / 40k verts, CG 160k verts)
+  * rasterize forward and forward+backward Mpix/s (fused Pallas pipeline)
+
+Timing note: the axon TPU client completes dispatch asynchronously and
+``block_until_ready`` can return before execution finishes, so every
+measurement here chains iterations through data dependencies and fetches a
+scalar result to host, which is the only reliable completion barrier.
 """
 import json
 import time
@@ -17,7 +21,97 @@ import time
 REFERENCE_ITERS_PER_S = 31.6  # BASELINE.md: mean of the 6 comparison scenes
 
 
-def main():
+def fetch(x):
+    """Host-fetch a scalar from a jax array — the completion barrier."""
+    import numpy as np
+    import jax
+    return np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
+
+
+def bench_solve():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from largesteps_tpu.ops.shapes import icosphere
+    from largesteps_tpu.core.geometry import compute_matrix
+    from largesteps_tpu.core.parameterize import to_differential, get_solver
+    from largesteps_tpu.core.solvers import solve as diff_solve, cg_solve
+
+    out = []
+    for subdiv, method in ((4, "Cholesky"), (6, "Cholesky"), (7, "CG")):
+        v, f = icosphere(subdiv)
+        n = v.shape[0]
+        M = compute_matrix(v, f, lambda_=19.0)
+        solver = get_solver(M, method)
+        u = to_differential(M, jnp.asarray(v))
+        iters = 50 if n < 100_000 else 10
+
+        @jax.jit
+        def chain(u0):
+            def body(i, x):
+                return diff_solve(solver, x * 0.999 + u * 0.001)
+            return jax.lax.fori_loop(0, iters, body, u0)
+
+        fetch(chain(u))        # compile
+        t0 = time.perf_counter()
+        fetch(chain(u))
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        out.append({"metric": f"from_differential_ms_{method.lower()}_{n}v",
+                    "value": round(ms, 3), "unit": "ms", "vs_baseline": None})
+    return out
+
+
+def bench_raster(n_views=13, res=256):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from largesteps_tpu.io.synth import make_scene
+    from largesteps_tpu.render.renderer import Renderer, Topology
+    from largesteps_tpu.ops.normals import compute_face_normals, compute_vertex_normals
+
+    scene = make_scene(source=("icosphere", 4), target=("gourd", 4),
+                       n_views=n_views, res=res)
+    renderer = Renderer(scene, shading=True, boost=3)
+    v = jnp.asarray(scene["mesh-source"]["vertices"])
+    f = scene["mesh-source"]["faces"]
+    topo = Topology(f)
+    fn = compute_face_normals(v, f)
+    n = compute_vertex_normals(v, f, fn)
+    mpix = n_views * res * res / 1e6
+    iters = 20
+
+    @jax.jit
+    def chain_fwd(v0):
+        def body(i, v_):
+            img = renderer.render(v_, n, topo)
+            return v_ + 1e-12 * img.mean()
+        return jax.lax.fori_loop(0, iters, body, v0)
+
+    fetch(chain_fwd(v))
+    t0 = time.perf_counter()
+    fetch(chain_fwd(v))
+    fwd_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    @jax.jit
+    def chain_fwdbwd(v0):
+        def body(i, v_):
+            g = jax.grad(lambda x: renderer.render(x, n, topo).mean())(v_)
+            return v_ + 1e-12 * g
+        return jax.lax.fori_loop(0, iters, body, v0)
+
+    fetch(chain_fwdbwd(v))
+    t0 = time.perf_counter()
+    fetch(chain_fwdbwd(v))
+    fb_ms = (time.perf_counter() - t0) / iters * 1e3
+    return [
+        {"metric": "raster_fwd_mpix_per_s", "value": round(mpix / fwd_ms * 1e3, 1),
+         "unit": "Mpix/s", "vs_baseline": None},
+        {"metric": "raster_fwdbwd_mpix_per_s", "value": round(mpix / fb_ms * 1e3, 1),
+         "unit": "Mpix/s", "vs_baseline": None},
+    ]
+
+
+def bench_step():
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -65,25 +159,34 @@ def main():
     opt_state = tx.init(theta)
     guess_bwd = jnp.zeros_like(v_s)
 
-    # warmup / compile
-    for _ in range(3):
+    for _ in range(3):    # warmup / compile
         theta, opt_state, loss, guess_bwd = step(theta, opt_state, guess_bwd)
-    jax.block_until_ready(loss)
+    fetch(loss)
 
-    n_iters = 30
+    n_iters = 50
     t0 = time.perf_counter()
     for _ in range(n_iters):
         theta, opt_state, loss, guess_bwd = step(theta, opt_state, guess_bwd)
-    jax.block_until_ready(loss)
+    fetch(loss)           # data-dependent chain: forces all steps to finish
     dt = time.perf_counter() - t0
-
     iters_per_s = n_iters / dt
-    print(json.dumps({
-        "metric": "opt_iters_per_s",
-        "value": round(iters_per_s, 3),
-        "unit": "iter/s",
-        "vs_baseline": round(iters_per_s / REFERENCE_ITERS_PER_S, 3),
-    }))
+    return {"metric": "opt_iters_per_s", "value": round(iters_per_s, 3),
+            "unit": "iter/s",
+            "vs_baseline": round(iters_per_s / REFERENCE_ITERS_PER_S, 3)}
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.jax_cache")
+    except Exception:
+        pass
+    for line in bench_solve():
+        print(json.dumps(line), flush=True)
+    for line in bench_raster():
+        print(json.dumps(line), flush=True)
+    print(json.dumps(bench_step()), flush=True)
 
 
 if __name__ == "__main__":

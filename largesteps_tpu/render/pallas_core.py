@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "triangle_setup", "bin_triangles", "raster_fwd_pallas",
-    "raster_bwd_pallas", "render_core", "suggest_cap", "check_bin_overflow",
+    "raster_bwd_pallas", "render_core", "make_render_core",
+    "make_render_pipeline", "suggest_cap", "check_bin_overflow",
 ]
 
 _BIG = 3.4e38
@@ -583,48 +584,54 @@ def _scatter_to_vertices(dclip, dA, bins, faces, n_verts, segment_fn=None):
 # render_core: differentiable fused rasterize+interpolate
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def render_core(v_clip, attrs, faces, opp, resolution, cap=768, chunk=8):
-    """Fused differentiable rasterize + attribute interpolation.
+def make_render_core(faces, opp, resolution, cap=768, chunk=8):
+    """Build the fused differentiable rasterize+interpolate op for one
+    topology epoch.
 
-    v_clip (C, V, 4), attrs (V, 3); faces/opp static (F, 3) numpy int32.
-    Returns (rast (C, H, W, 4) with nvdiffrast channels (u, v, z/w, fid),
-    slot (C, H, W) f32 bin-slot map (-1 background), color (C, H, W, 3)).
-    Gradients flow to v_clip (through u, v and color) and attrs (through
-    color).  z/fid/slot are non-differentiable, matching nvdiffrast.
+    Returns ``core(v_clip (C,V,4), attrs (V,3)) -> (rast (C,H,W,4), slot
+    (C,H,W), color (C,H,W,3))`` with nvdiffrast channel conventions
+    (u, v, z/w, fid).  Gradients flow to v_clip (through u, v and color) and
+    attrs (through color); z/fid/slot are non-differentiable, matching
+    nvdiffrast.  faces/opp are per-epoch constants closed over (a jnp-traced
+    topology would defeat binning's static shapes).
     """
-    out, _ = _render_core_fwd(v_clip, attrs, faces, opp, resolution, cap, chunk)
-    return out
-
-
-def _render_core_fwd(v_clip, attrs, faces, opp, resolution, cap, chunk):
     height, width = resolution
-    fj = jnp.asarray(faces)
-    oj = jnp.asarray(opp)
-    rfb, rbb, bins, counts = _setup_and_bin(v_clip, fj, attrs, oj,
-                                            height, width, cap)
-    u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
-        rfb, counts, resolution, cap, chunk)
-    rast = jnp.stack([u, v, z, fid], axis=-1)
-    color = jnp.stack([c0, c1, c2], axis=-1)
-    res = (rbb, bins, counts, slot, v_clip.shape[1])
-    return (rast, slot, color), res
+    fj = jnp.asarray(np.asarray(faces, np.int32))
+    oj = jnp.asarray(np.asarray(opp, np.int32))
+
+    @jax.custom_vjp
+    def core(v_clip, attrs):
+        out, _ = core_fwd(v_clip, attrs)
+        return out
+
+    def core_fwd(v_clip, attrs):
+        rfb, rbb, bins, counts = _setup_and_bin(v_clip, fj, attrs, oj,
+                                                height, width, cap)
+        u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
+            rfb, counts, resolution, cap, chunk)
+        rast = jnp.stack([u, v, z, fid], axis=-1)
+        color = jnp.stack([c0, c1, c2], axis=-1)
+        res = (rbb, bins, counts, slot, v_clip.shape[1])
+        return (rast, slot, color), res
+
+    def core_bwd(res, g):
+        d_rast, _, d_color = g
+        rbb, bins, counts, slot, n_verts = res
+        dslot = raster_bwd_pallas(rbb, counts, slot, d_color,
+                                  d_rast[..., 0], d_rast[..., 1],
+                                  resolution, cap, chunk)
+        dclip = _chain_to_clip(dslot, rbb)
+        dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
+        dv_clip, d_attrs = _scatter_to_vertices(dclip, dA, bins, fj, n_verts)
+        return dv_clip, d_attrs
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
 
 
-def _render_core_bwd(faces, opp, resolution, cap, chunk, res, g):
-    d_rast, _, d_color = g
-    rbb, bins, counts, slot, n_verts = res
-    dslot = raster_bwd_pallas(rbb, counts, slot, d_color,
-                              d_rast[..., 0], d_rast[..., 1],
-                              resolution, cap, chunk)
-    dclip = _chain_to_clip(dslot, rbb)
-    dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
-    fj = jnp.asarray(faces)
-    dv_clip, d_attrs = _scatter_to_vertices(dclip, dA, bins, fj, n_verts)
-    return dv_clip, d_attrs
-
-
-render_core.defvjp(_render_core_fwd, _render_core_bwd)
+def render_core(v_clip, attrs, faces, opp, resolution, cap=768, chunk=8):
+    """One-shot convenience wrapper around :func:`make_render_core`."""
+    return make_render_core(faces, opp, resolution, cap, chunk)(v_clip, attrs)
 
 
 # ---------------------------------------------------------------------------
@@ -1018,3 +1025,75 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
     db_v = jnp.stack(outs[2 * D:3 * D], axis=-1)
     dcol = dcol + _shift_right_ch(db_h) + _shift_down_ch(db_v)
     return dcol, outs[3 * D]
+
+
+# ---------------------------------------------------------------------------
+# render_pipeline: the full shaded/silhouette render as one custom-VJP op
+# ---------------------------------------------------------------------------
+# Mirrors NVDRenderer.render's per-frame pipeline (scripts/render.py:204-220):
+# rasterize -> interpolate -> (composite over background) -> antialias, with
+# pos_gradient_boost multiplying exactly the antialias position gradients.
+# One custom_vjp wraps the whole chain so the triangle bins, rec tables and
+# slot map are computed once and shared between the forward and backward
+# kernels.
+
+def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
+                         cap=768):
+    """Build the full fused render op for one topology epoch.
+
+    Mirrors NVDRenderer.render (scripts/render.py:204-220): rasterize ->
+    interpolate -> (composite over background) -> antialias, with
+    ``pos_gradient_boost`` multiplying exactly the antialias position
+    gradients.  Returns ``pipe(v_clip (C,V,4), attrs (V,3), bg) ->
+    (C,H,W,4)`` shaded images (or ``(C,H,W,3)`` with shading=False; pass
+    bg=None).  One custom_vjp wraps the chain so bins, rec tables and the
+    slot map are shared between forward and backward kernels.
+    """
+    height, width = resolution
+    fj = jnp.asarray(np.asarray(faces, np.int32))
+    oj = jnp.asarray(np.asarray(opp, np.int32))
+    D = 4 if shading else 3
+
+    @jax.custom_vjp
+    def pipe(v_clip, attrs, bg):
+        out, _ = pipe_fwd(v_clip, attrs, bg)
+        return out
+
+    def pipe_fwd(v_clip, attrs, bg):
+        rfb, rbb, bins, counts = _setup_and_bin(v_clip, fj, attrs, oj,
+                                                height, width, cap)
+        u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
+            rfb, counts, resolution, cap)
+        color = jnp.stack([c0, c1, c2], axis=-1)
+        cov = (fid > 0.0)[..., None]
+        if shading:
+            col4 = jnp.concatenate([color, cov.astype(color.dtype)], axis=-1)
+            comp = jnp.where(cov, col4, bg)
+        else:
+            comp = color
+        out = aa_fwd_pallas(rbb, counts, fid, z, comp, resolution, cap, D=D)
+        res = (rbb, bins, counts, slot, fid, z, comp, cov, v_clip.shape[1],
+               None if bg is None else bg.shape)
+        return out, res
+
+    def pipe_bwd(res, g):
+        rbb, bins, counts, slot, fid, z, comp, cov, n_verts, bg_shape = res
+        d_comp, dslot_aa = aa_bwd_pallas(rbb, counts, fid, z, comp, g,
+                                         resolution, cap, D=D)
+        if shading:
+            d_color = jnp.where(cov, d_comp[..., :3], 0.0)
+        else:
+            d_color = d_comp
+        dslot = raster_bwd_pallas(rbb, counts, slot, d_color,
+                                  jnp.zeros_like(fid), jnp.zeros_like(fid),
+                                  resolution, cap)
+        # combine raster + (boosted) antialias screen-space sums, then chain
+        dslot = dslot.at[..., 0:6].add(boost * dslot_aa[..., 0:6])
+        dclip = _chain_to_clip(dslot, rbb)
+        dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
+        dv_clip, d_attrs = _scatter_to_vertices(dclip, dA, bins, fj, n_verts)
+        d_bg = None if bg_shape is None else jnp.zeros(bg_shape, d_comp.dtype)
+        return dv_clip, d_attrs, d_bg
+
+    pipe.defvjp(pipe_fwd, pipe_bwd)
+    return pipe

@@ -34,6 +34,7 @@ class Topology:
     def __init__(self, faces):
         self.faces = np.ascontiguousarray(np.asarray(faces), dtype=np.int32)
         self.opp = face_adjacency(self.faces)
+        self._pipe_cache = {}   # (res, shading, boost, cap) -> fused Pallas op
 
     @property
     def n_faces(self):
@@ -118,13 +119,23 @@ class Renderer:
         Differentiable w.r.t. v (through barycentrics, lighting and
         antialias) and n (through SH shading).  Reference: render.py:186-221.
         """
-        faces = jnp.asarray(topology.faces)
         v_ndc = project(v, self.mvps)                   # (C, V, 4)
         if self.backend == "pallas":
-            from .pallas_raster import rasterize_pallas
-            rast = rasterize_pallas(v_ndc, faces, self.res, cap=self.bin_cap)
-        else:
-            rast = rasterize(v_ndc, faces, self.res, self.chunk)
+            # fused Pallas pipeline: rasterize+interpolate+antialias kernels
+            key = (self.res, self.shading, self.boost, self.bin_cap)
+            pipe = topology._pipe_cache.get(key)
+            if pipe is None:
+                from .pallas_core import make_render_pipeline
+                pipe = make_render_pipeline(
+                    topology.faces, topology.opp, self.res,
+                    shading=self.shading, boost=self.boost, cap=self.bin_cap)
+                topology._pipe_cache[key] = pipe
+            if self.shading:
+                attrs = sh_eval(self.sh_M, n) / np.pi   # (V, 3)
+                return pipe(v_ndc, attrs, self.bgs)
+            return pipe(v_ndc, jnp.ones_like(v), None)
+        faces = jnp.asarray(topology.faces)
+        rast = rasterize(v_ndc, faces, self.res, self.chunk)
         if self.shading:
             vert_light = sh_eval(self.sh_M, n)          # (V, 3)
             light = interpolate(vert_light, rast, faces)
