@@ -56,7 +56,12 @@ def bench_solve():
         t0 = time.perf_counter()
         fetch(chain(u))
         ms = (time.perf_counter() - t0) / iters * 1e3
-        out.append({"metric": f"from_differential_ms_{method.lower()}_{n}v",
+        # label by the solver path that actually ran, not the one requested
+        # (CholeskySolver silently degrades to CG above DENSE_LIMIT verts)
+        ran = method.lower()
+        if method == "Cholesky" and getattr(solver, "inv", None) is None:
+            ran = "cg_fallback"
+        out.append({"metric": f"from_differential_ms_{ran}_{n}v",
                     "value": round(ms, 3), "unit": "ms", "vs_baseline": None})
     return out
 

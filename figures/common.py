@@ -29,9 +29,12 @@ SCENES = {
     "bunny":    dict(source=("icosphere", 4), target=("gourd", 5),      n_views=13, res=256),
     "bob":      dict(source=("icosphere", 4), target=("torus", 48),     n_views=13, res=256),
     "tshirt":   dict(source=("icosphere", 4), target=("supershape", 4), n_views=13, res=256),
-    "cranium":  dict(source=("icosphere", 4), target=("gourd", 5),      n_views=13, res=256),
+    "cranium":  dict(source=("icosphere", 4), target=("supershape", 6), n_views=13, res=256),
     "planck":   dict(source=("icosphere", 4), target=("supershape", 5), n_views=13, res=256),
-    "nefertiti": dict(source=("icosphere", 6), target=("gourd", 6),     n_views=13, res=256),
+    # north-star scale: the optimized mesh is icosphere-7 = 163,842 verts
+    # (reference teaser optimizes the >=100k-vert nefertiti mesh,
+    # figures/teaser/generate_data.py:24)
+    "nefertiti": dict(source=("icosphere", 7), target=("gourd", 7),     n_views=13, res=256),
     "dragon":   dict(source=("icosphere", 4), target=("supershape", 5), n_views=13, res=256),
 }
 

@@ -135,7 +135,6 @@ def compute_matrix(
         return L.add_scaled_identity(1.0, self_scale=float(lambda_))
     if alpha < 0.0 or alpha >= 1.0:
         raise ValueError(
-            f"Invalid value for alpha: {alpha} : it should take values "
-            "between 0 (included) and 1 (excluded)"
+            f"alpha={alpha} out of range: need 0 <= alpha < 1"
         )
     return L.add_scaled_identity(1.0 - alpha, self_scale=float(alpha))

@@ -52,6 +52,9 @@ def get_solver(M: SparseCOO, method: str = "Cholesky"):
             slv = CholeskyHostSolver(M)
         elif method == "CG":
             slv = ConjugateGradientSolver(M)
+        elif method == "AMG":
+            from .multigrid import MultigridSolver
+            slv = MultigridSolver(M)
         else:
             raise ValueError(f"Unknown solver type '{method}'.")
         _cache_put(key, slv, M.structure)

@@ -141,9 +141,9 @@ class CholeskySolver:
     def __init__(self, M: SparseCOO, dense_limit: int = DENSE_LIMIT,
                  refine: int = 0):
         self.n = M.shape[0]
-        self._cg_tol = 1e-6
         self.M = M
         self.refine = int(refine)
+        self._amg = None
         if self.n <= dense_limit:
             # full f32 precision: the TPU MXU's default bf16 matmul passes
             # are not accurate enough for a direct solver
@@ -155,14 +155,18 @@ class CholeskySolver:
                 )
             self.inv = jax.block_until_ready(inv)
         else:
+            # large-mesh tier: AMG-preconditioned CG (setup once per epoch,
+            # like the factorization) — see core/multigrid.py
+            from .multigrid import MultigridSolver
             self.inv = None
+            self._amg = MultigridSolver(M, tol=1e-6)
 
     def _apply_inv(self, b):
         return jnp.matmul(self.inv, b, precision=jax.lax.Precision.HIGHEST)
 
     def solve(self, b, x0=None):
         if self.inv is None:
-            return cg_solve(self.M, b, x0=x0, tol=self._cg_tol)
+            return self._amg.solve(b, x0=x0)
         x = self._apply_inv(b)
         # optional iterative refinement (off by default: at HIGHEST matmul
         # precision the explicit inverse is already ~1e-6 accurate)

@@ -100,6 +100,9 @@ def _build_epoch(v_src, f_src, p, renderer):
         f_src=np.asarray(f_src, np.int32), topology=Topology(f_src),
     )
     st.L = laplacian_uniform(len(v_unique), f_unique)
+    # size the raster bins for this epoch's geometry before the first traced
+    # render: overflow would under-draw tiles silently (ADVICE r2)
+    renderer.check_overflow(v_src, st.topology)
     if p["smooth"]:
         st.M = compute_matrix(v_unique, f_unique, lambda_=p["lambda"], alpha=p["alpha"])
         st.u = to_differential(st.M, jnp.asarray(v_unique))
@@ -168,6 +171,18 @@ def optimize_shape(scene, params=None):
     if params:
         p.update(params)
 
+    # persistent compile cache: each topology epoch is a recompile boundary,
+    # and the two render chains cost minutes to compile cold on the axon
+    # client — cache across runs/epochs (harmless if already configured)
+    import os
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.jax_cache")))
+    except Exception:
+        pass
+
     scene_params = load_scene(scene) if isinstance(scene, str) else scene
 
     v_ref = jnp.asarray(scene_params["mesh-target"]["vertices"])
@@ -231,7 +246,7 @@ def optimize_shape(scene, params=None):
 
     result = {
         "vert_steps": [], "tr_steps": [], "f": [f_src.copy()], "losses": [],
-        "im_ref": np.asarray(ref_imgs), "im": [],
+        "im_ref": np.asarray(ref_imgs),
         "v_ref": np.asarray(v_ref), "f_ref": f_ref.copy(),
     }
 
@@ -285,11 +300,10 @@ def optimize_shape(scene, params=None):
         )
         loss_log.append(losses)
         if p["record_verts"]:
-            if p["smooth"]:
-                v_u = diff_solve(get_solver(st.M, p["solver"]), theta["u"])
-            else:
-                v_u = theta["u"]
-            result["vert_steps"].append(np.asarray(v_u)[st.duplicate_idx])
+            # the step already returns this iteration's solved vertices as
+            # the next forward warm start — record those instead of paying a
+            # second solve outside the jitted step (ref main.py:200-202)
+            result["vert_steps"].append(np.asarray(guess_fwd)[st.duplicate_idx])
             result["tr_steps"].append(np.asarray(theta["tr"]))
 
         it += 1

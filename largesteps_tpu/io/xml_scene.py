@@ -30,7 +30,7 @@ def load_scene(filepath):
     assert ext == ".xml", f"Unexpected file type: '{ext}'"
 
     root = ET.parse(filepath).getroot()
-    assert root.tag == "scene", f"Unknown root type '{root.tag}', expected 'scene'"
+    assert root.tag == "scene", f"scene XML must have a <scene> root, got <{root.tag}>"
 
     params = {"view_mats": [], "envmap_scale": 1.0}
 
@@ -72,7 +72,7 @@ def load_scene(filepath):
             if plugin.attrib["type"] == "ply":
                 for prop in plugin:
                     if prop.tag == "string" and prop.attrib["name"] == "filename":
-                        assert "id" in plugin.attrib, "Missing mesh id!"
+                        assert "id" in plugin.attrib, "ply <shape> needs an id attribute"
                         params[plugin.attrib["id"]] = read_ply(
                             os.path.join(folder, prop.attrib["value"])
                         )
@@ -82,8 +82,8 @@ def load_scene(filepath):
                     "only PLY is supported currently"
                 )
 
-    assert "mesh-source" in params, "Missing source mesh"
-    assert "mesh-target" in params, "Missing target mesh"
-    assert "envmap" in params, "Missing envmap"
-    assert len(params["view_mats"]) > 0, "At least one camera needed"
+    assert "mesh-source" in params, "scene lacks a mesh-source shape"
+    assert "mesh-target" in params, "scene lacks a mesh-target shape"
+    assert "envmap" in params, "scene lacks an envmap emitter"
+    assert len(params["view_mats"]) > 0, "scene defines no sensors (cameras)"
     return params

@@ -97,9 +97,12 @@ def triangle_setup(v_clip, faces, attrs, opp, height, width):
     valid = jnp.all(w > 1e-9, axis=1)
     safe_w = jnp.where(w == 0, 1.0, w)
     iw = jnp.where(valid[:, None], 1.0 / safe_w, 0.0)
-    sx = tri[..., 0] * iw
-    sy = tri[..., 1] * iw
-    zw = tri[..., 2] * iw
+    # direct division (not x * (1/w)): rounds identically to the antialias
+    # oracle's screen coordinates, so edge-crossing parameters match exactly
+    ok = valid[:, None]
+    sx = jnp.where(ok, tri[..., 0] / safe_w, 0.0)
+    sy = jnp.where(ok, tri[..., 1] / safe_w, 0.0)
+    zw = jnp.where(ok, tri[..., 2] / safe_w, 0.0)
 
     area = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) \
         - (sy[:, 1] - sy[:, 0]) * (sx[:, 2] - sx[:, 0])
@@ -566,6 +569,7 @@ def _scatter_to_vertices(dclip, dA, bins, faces, n_verts, segment_fn=None):
     layout [dA0c dA1c dA2c]; bins (C, TY, TX, cap) int32 (-1 padding)."""
     if segment_fn is None:
         segment_fn = lambda d, i, n: jax.ops.segment_sum(d, i, num_segments=n)
+    faces = jnp.asarray(faces)
     C = dclip.shape[0]
     tri = jnp.maximum(bins, 0)
     vids = jnp.where((bins >= 0)[..., None], faces[tri], n_verts)  # (C,TY,TX,cap,3)
@@ -596,8 +600,12 @@ def make_render_core(faces, opp, resolution, cap=768, chunk=8):
     topology would defeat binning's static shapes).
     """
     height, width = resolution
-    fj = jnp.asarray(np.asarray(faces, np.int32))
-    oj = jnp.asarray(np.asarray(opp, np.int32))
+    # Keep topology as HOST numpy constants in the closure: building the op
+    # under one jit trace and calling it under another (or eagerly) must not
+    # leak tracers.  numpy constants are re-lifted freshly into every trace;
+    # jnp conversion happens inside the traced functions where needed.
+    fj = np.ascontiguousarray(np.asarray(faces), dtype=np.int32)
+    oj = np.ascontiguousarray(np.asarray(opp), dtype=np.int32)
 
     @jax.custom_vjp
     def core(v_clip, attrs):
@@ -700,7 +708,10 @@ def _aa_pair_t(fields, pax, pay, d_ex, d_ey, other_fid):
         bx, by = sxs[(e + 1) % 3], sys_[(e + 1) % 3]
         ex, ey = bx - ax, by - ay
         ea = ex * (pay - ay) - ey * (pax - ax)
-        eb = ea + ex * d_ey - ey * d_ex
+        # evaluate eb directly at the neighbor pixel (not incrementally from
+        # ea) so the crossing parameter t rounds identically to the oracle's
+        # formulation (antialias._pair_corrections)
+        eb = ex * (pay + d_ey - ay) - ey * (pax + d_ex - ax)
         separates = (ea > 0.0) != (eb > 0.0)
         denom = ea - eb
         safe_den = jnp.where(denom == 0.0, 1.0, denom)
@@ -1050,8 +1061,9 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
     slot map are shared between forward and backward kernels.
     """
     height, width = resolution
-    fj = jnp.asarray(np.asarray(faces, np.int32))
-    oj = jnp.asarray(np.asarray(opp, np.int32))
+    # numpy (not jnp) closures: trace-safe — see make_render_core
+    fj = np.ascontiguousarray(np.asarray(faces), dtype=np.int32)
+    oj = np.ascontiguousarray(np.asarray(opp), dtype=np.int32)
     D = 4 if shading else 3
 
     @jax.custom_vjp
@@ -1092,7 +1104,17 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
         dclip = _chain_to_clip(dslot, rbb)
         dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
         dv_clip, d_attrs = _scatter_to_vertices(dclip, dA, bins, fj, n_verts)
-        d_bg = None if bg_shape is None else jnp.zeros(bg_shape, d_comp.dtype)
+        # bg cotangent: comp = where(cov, col4, bg), so d_bg is d_comp over
+        # uncovered pixels (the antialias blend contribution is already part
+        # of d_comp).  The reference treats bgs as a non-trained buffer, but
+        # the gradient is exact if anyone differentiates w.r.t. the envmap.
+        if bg_shape is None:
+            d_bg = None
+        else:
+            d_bg = jnp.where(cov, 0.0, d_comp)
+            extra = d_bg.ndim - len(bg_shape)
+            if extra:
+                d_bg = d_bg.sum(axis=tuple(range(extra)))
         return dv_clip, d_attrs, d_bg
 
     pipe.defvjp(pipe_fwd, pipe_bwd)

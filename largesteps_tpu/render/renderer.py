@@ -113,6 +113,29 @@ class Renderer:
         self.sh_M = sh_matrices(envmap)
         self.bgs = render_backgrounds(envmap, self.view_mats, self.fov_x, self.res)
 
+    def check_overflow(self, v, topology: Topology, grow: bool = True):
+        """Validate bin occupancy for the current vertices (host diagnostic;
+        call once per topology epoch, outside jit).  Bin overflow under-draws
+        tiles deterministically with no runtime signal, so the driver checks
+        at epoch/remesh boundaries and (with ``grow=True``) resizes
+        ``bin_cap`` before the first traced render.  Returns the measured
+        max occupancy."""
+        if self.backend != "pallas":
+            return 0
+        from .pallas_core import check_bin_overflow, suggest_cap
+        v_ndc = project(jnp.asarray(v), self.mvps)
+        occ = check_bin_overflow(v_ndc, topology.faces, self.res)
+        if occ > self.bin_cap:
+            if grow:
+                self.bin_cap = suggest_cap(occ)
+            else:
+                import warnings
+                warnings.warn(
+                    f"raster bin occupancy {occ} exceeds bin_cap "
+                    f"{self.bin_cap}; tiles will under-draw (suggest "
+                    f"bin_cap={suggest_cap(occ)})")
+        return occ
+
     def render(self, v, n, topology: Topology):
         """Render all viewpoints: v (V, 3), n (V, 3) → (C, H, W, 4|3).
 

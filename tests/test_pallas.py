@@ -53,6 +53,8 @@ def test_fwd_matches_xla(geo):
     assert float(jnp.max(jnp.abs(jnp.where(
         m, rast[..., 0] - rast_ref[..., 0], 0.0)))) < 1e-4
     assert float(jnp.max(jnp.abs(jnp.where(
+        m, rast[..., 1] - rast_ref[..., 1], 0.0)))) < 1e-4
+    assert float(jnp.max(jnp.abs(jnp.where(
         m[..., None], col - col_ref, 0.0)))) < 5e-4
     assert bool(jnp.all((slot >= 0) == m))
 
@@ -195,3 +197,29 @@ def test_check_bin_overflow(geo):
     occ = pc.check_bin_overflow(v_ndc, jnp.asarray(f), (H, W))
     assert 0 < occ <= f.shape[0]
     assert pc.suggest_cap(occ) >= occ
+
+
+def test_pipeline_trace_safe(scene, geo):
+    """Regression (round-2 bench crash): a Topology whose pipe cache was
+    populated under one jit trace must be reusable under a second trace and
+    eagerly — no UnexpectedTracerError, identical images."""
+    v, f, opp, renderer, v_ndc, _ = geo
+    topo = Topology(f)
+    fn = compute_face_normals(v, f)
+    n = compute_vertex_normals(v, f, fn)
+    rp = Renderer(scene, shading=True, boost=3, backend="pallas", bin_cap=CAP)
+
+    @jax.jit
+    def render_a(vv):
+        return rp.render(vv, n, topo)          # first trace builds the pipe
+
+    @jax.jit
+    def render_b(vv):
+        return rp.render(vv, n, topo) * 1.0    # second, different trace
+
+    ia = render_a(v)
+    ib = render_b(v)
+    ie = rp.render(v, n, topo)                 # eager reuse
+    assert float(jnp.max(jnp.abs(ia - ib))) == 0.0
+    # eager pays different XLA fusion rounding than the jitted traces
+    assert float(jnp.max(jnp.abs(ia - ie))) < 1e-5
