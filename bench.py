@@ -80,6 +80,7 @@ def bench_raster(n_views=13, res=256):
     v = jnp.asarray(scene["mesh-source"]["vertices"])
     f = scene["mesh-source"]["faces"]
     topo = Topology(f)
+    renderer.check_overflow(v, topo)    # size bins like the driver does
     fn = compute_face_normals(v, f)
     n = compute_vertex_normals(v, f, fn)
     mpix = n_views * res * res / 1e6
@@ -141,6 +142,7 @@ def bench_step():
     v_s = jnp.asarray(scene["mesh-source"]["vertices"])
     f_s = scene["mesh-source"]["faces"]
     topo = Topology(f_s)
+    renderer.check_overflow(v_s, topo)  # size bins like the driver does
     M = compute_matrix(v_s, f_s, lambda_=19.0)
     u0 = to_differential(M, v_s)
     solver = get_solver(M, "Cholesky")

@@ -155,11 +155,10 @@ class CholeskySolver:
                 )
             self.inv = jax.block_until_ready(inv)
         else:
-            # large-mesh tier: AMG-preconditioned CG (setup once per epoch,
-            # like the factorization) — see core/multigrid.py
-            from .multigrid import MultigridSolver
+            # large-mesh tier: RCM-blocked AMG-PCG (setup once per epoch,
+            # like the factorization) — see core/blocksp.py, core/multigrid.py
             self.inv = None
-            self._amg = MultigridSolver(M, tol=1e-6)
+            self._amg = BlockAmgSolver(M)
 
     def _apply_inv(self, b):
         return jnp.matmul(self.inv, b, precision=jax.lax.Precision.HIGHEST)
@@ -228,6 +227,74 @@ class CholeskyHostSolver:
             b,
             vmap_method="sequential",
         )
+
+
+class _BlockMatvec:
+    """Pad-and-apply wrapper giving a BlockedOperator the plain
+    ``x -> A @ x`` matvec surface the AMG hierarchy expects (identity
+    ordering — the operator must already be bandwidth-ordered)."""
+
+    def __init__(self, A: SparseCOO, block: int = 128):
+        from .blocksp import BlockedOperator
+        self.n = A.shape[0]
+        self.op = BlockedOperator(A, np.arange(self.n, dtype=np.int64),
+                                  block)
+
+    def __call__(self, x):
+        pad = self.op.n_pad - self.n
+        if pad:
+            width = ((0, pad),) if x.ndim == 1 else ((0, pad), (0, 0))
+            x = jnp.pad(x, width)
+        y = self.op.matvec(x)
+        return y[:self.n]
+
+
+class BlockAmgSolver:
+    """Large-mesh direct-solver replacement: RCM ordering + dense-block MXU
+    matvec + AMG-preconditioned CG (core/blocksp.py rationale).
+
+    Construction cost (RCM, block build, hierarchy) amortizes over a
+    topology epoch exactly like the reference's cholespy factorization
+    (largesteps/solvers.py:26-39); each solve is a handful of ~1 ms
+    matvecs.  Solves run in permuted space; b/x cross the boundary through
+    one V-row gather each way.
+    """
+
+    method = "BlockAMG"
+    BLOCK_LIMIT = 8192       # levels below this stay on the COO matvec
+
+    def __init__(self, M: SparseCOO, tol: float = 1e-5, block: int = 128):
+        from .blocksp import rcm_permutation, permuted_coo
+        from .multigrid import MultigridSolver
+
+        st = M.structure
+        n = st.shape[0]
+        perm, inv = rcm_permutation(st.rows, st.cols, n)
+        n_pad = ((n + block - 1) // block) * block
+        Mp = permuted_coo(M, inv, n_pad)
+        self.n = n
+        self.perm = jnp.asarray(perm)
+        self.inv_perm = jnp.asarray(inv)
+
+        def factory(A):
+            if A.shape[0] >= self.BLOCK_LIMIT:
+                return _BlockMatvec(A, block)
+            from .sparse import coo_matvec
+            return lambda x, A=A: coo_matvec(A, x)
+
+        self._mg = MultigridSolver(Mp, tol=tol, matvec_factory=factory)
+
+    def solve(self, b, x0=None):
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+            x0 = None if x0 is None else x0[:, None]
+        pad = ((0, self._mg.M.shape[0] - self.n), (0, 0))
+        bp = jnp.pad(b[self.perm], pad)
+        x0p = None if x0 is None else jnp.pad(x0[self.perm], pad)
+        xp = self._mg.solve(bp, x0=x0p)
+        x = xp[self.inv_perm]
+        return x[:, 0] if squeeze else x
 
 
 # ---------------------------------------------------------------------------

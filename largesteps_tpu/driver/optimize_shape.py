@@ -62,6 +62,7 @@ def default_params():
         "loss": "l2",
         "bilaplacian": True,
         "record_verts": False, # per-iter vertex history (heavy; ref always on)
+        "sharding": None,      # None | {"dp": n, "sp": m} — SPMD device mesh
         "raster_chunk": 128,
         "checkpoint_every": 0, # iterations between checkpoints (0 = off)
         "checkpoint_path": None,
@@ -205,8 +206,24 @@ def optimize_shape(scene, params=None):
 
     renderer = Renderer(scene_params, shading=p["shading"], boost=p["boost"],
                         chunk=p["raster_chunk"])
+    if p["sharding"]:
+        # one code path for single- and multi-device runs: attach the mesh
+        # to the renderer (shard_map for the pallas kernels, GSPMD for the
+        # xla backend) and let jit propagate shardings through the step —
+        # remeshing, checkpointing and loss logging compose unchanged
+        from ..parallel.sharding import make_mesh, shard_renderer
+        sh = p["sharding"]
+        sh = {"dp": sh} if isinstance(sh, int) else dict(sh)
+        sp = int(sh.get("sp", 1))
+        mesh = make_mesh(int(sh.get("dp", 1)) * sp, sp=sp)
+        renderer = shard_renderer(renderer, mesh, shard_rows=sp > 1)
     ref_imgs = renderer.render(v_ref, n_ref, Topology(f_ref))
     ref_imgs = jax.lax.stop_gradient(ref_imgs)
+    if p["sharding"] and renderer.backend != "pallas":
+        from ..parallel.sharding import camera_sharding
+        ref_imgs = jax.device_put(
+            ref_imgs, camera_sharding(renderer.mesh, ref_imgs.ndim,
+                                      row_axis=1 if sp > 1 else None))
 
     st = _build_epoch(v_src, f_src, p, renderer)
 

@@ -60,15 +60,36 @@ def camera_sharding(mesh: Mesh, ndim: int, cam_axis: int = 0,
 
 
 def shard_renderer(renderer, mesh: Mesh, shard_rows: bool = True):
-    """Re-place a Renderer's per-camera constants onto the mesh in place:
-    mvps (C,4,4) → P('dp'), bgs (C,H,W,4) → P('dp','sp')."""
+    """Re-place a Renderer's per-camera constants onto the mesh in place
+    and attach the mesh so ``render`` runs SPMD.
+
+    Backend-dependent layout (decided + documented per SURVEY §2.3):
+      * ``xla`` backend: pure-GSPMD — mvps (C,4,4) → P('dp'), bgs
+        (C,H,W,4) → P('dp','sp') with image rows on 'sp'; the antialias
+        shifts become neighbor collective-permutes automatically.
+      * ``pallas`` backend: the fused kernels run under ``shard_map`` with
+        the CAMERA axis sharded over BOTH mesh axes (P(('dp','sp'))).
+        Image rows are NOT 'sp'-sharded here: the kernel grid owns the
+        (TILE_H=32)-row decomposition inside each camera, and camera
+        parallelism is loss-free while row-sharding would split tiles
+        across the AA halo.  'sp' still buys real parallelism — it just
+        shards viewpoints, not rows.
+    """
     n_cam = renderer.mvps.shape[0]
-    dp = mesh.shape["dp"]
-    if n_cam % dp != 0:
-        raise ValueError(f"cameras ({n_cam}) must divide dp ({dp})")
-    renderer.mvps = jax.device_put(renderer.mvps, camera_sharding(mesh, 3))
-    row_axis = 1 if shard_rows else None
-    renderer.bgs = jax.device_put(renderer.bgs, camera_sharding(mesh, 4, row_axis=row_axis))
+    pallas = renderer.backend == "pallas"
+    need = mesh.shape["dp"] * mesh.shape["sp"] if pallas else mesh.shape["dp"]
+    if n_cam % need != 0:
+        raise ValueError(f"cameras ({n_cam}) must divide {need}")
+    cam_axes = ("dp", "sp") if pallas else "dp"
+    renderer.mvps = jax.device_put(
+        renderer.mvps, NamedSharding(mesh, P(cam_axes, None, None)))
+    if pallas:
+        bg_spec = P(cam_axes, None, None, None)
+    else:
+        bg_spec = P("dp", "sp" if shard_rows else None, None, None)
+    renderer.bgs = jax.device_put(renderer.bgs, NamedSharding(mesh, bg_spec))
+    renderer.mesh = mesh
+    renderer.cam_axes = cam_axes
     return renderer
 
 

@@ -22,20 +22,31 @@ TPU design
   serve the antialias kernels, whose pair owners may sit one pixel outside
   the tile).  Stable argsort compaction — measured faster on-chip than
   scatter-based fills at suzanne scale.
-* **Forward kernel:** grid (camera, tile_y, tile_x); each program z-buffers
-  its bin's triangles over a (TILE_H, TILE_W) tile held in VMEM scratch.
-  Triangles are processed in unrolled chunks; per triangle only the
-  (8, TILE_W) row-bands its bbox touches are evaluated (``pl.when`` on
-  scalar bbox tests — the win over round 1, where every triangle paid for
-  the full tile).  Attribute interpolation happens in the same loop, so the
-  winner's color exits the kernel with zero XLA gathers.
-* **Backward kernel:** three phases per tile.  (A) a slot loop rebuilds
-  per-pixel owner fields by masked selects (``tid == fid``); (B) one dense
+* **Lane layout:** per-pixel math runs in a (1, P) layout with all P =
+  TILE_H·TILE_W tile pixels on the lane axis (p = row·W + col); an 8-row
+  band is then a contiguous 1024-lane slice.  This keeps every op a fat
+  vector op — round 2's kernels extracted per-triangle scalars from VMEM
+  rows (~55 ns each on this chip), which dominated their runtime.
+* **Forward kernel:** grid (camera, tile_y, tile_x); the z-loop processes
+  triangle chunks *vectorized over the chunk (sublane) axis* — affine
+  evaluation is a (chunk, band) broadcast FMA, the winner is selected by a
+  (depth, face-id)-lexicographic reduction (order-independent, equal to
+  the oracle's ascending-id scan with a strict z-test), and chunk-level
+  bbox tests skip bands (bins are ymin-sorted so chunks stay y-coherent).
+  Only (depth, fid, slot) live in the loop; u/v/color are reconstructed
+  after it from a one-hot gather of the winner's record.
+* **One-hot MXU gathers/reductions:** per-pixel owner records
+  (``rec[slot_plane]``) and per-slot gradient sums are both expressed as
+  chunked one-hot matmuls — the TPU-idiomatic replacement for CUDA's
+  per-pixel gather and atomic scatter.  The gather and reduction must
+  build their one-hots from *syntactically different* compare expressions
+  (see _onehot_gather) — Mosaic crashes when one one-hot value feeds dots
+  of both contraction orientations.
+* **Backward kernel:** (A) owner fields via one-hot gather; (B) one dense
   per-pixel pass computes the 18 analytic gradient fields (d sx/sy per
-  vertex, d iw per vertex, d attr per vertex·channel); (C) the per-pixel →
-  per-slot reduction runs on the MXU as one-hot matmuls per sublane row —
-  the TPU-idiomatic replacement for CUDA's atomic scatter.  Per-slot sums
-  are chained to clip-space gradients and segment-summed to vertices in XLA.
+  vertex, d iw per vertex, d attr per vertex·channel); (C) per-slot sums
+  via one-hot reduction.  Per-slot sums are chained to clip-space
+  gradients and segment-summed to vertices in XLA.
 
 The modular ops (raster.rasterize / raster.interpolate) remain the semantic
 oracle; tests compare this kernel against them in interpret mode on CPU.
@@ -60,6 +71,9 @@ _BIG = 3.4e38
 TILE_H = 32
 TILE_W = 128
 _BANDS = TILE_H // 8
+_P = TILE_H * TILE_W          # pixels per tile, laid out on the lane axis
+_BAND_P = 8 * TILE_W          # pixels per 8-row band (one lane-slice)
+_OH = 128                     # one-hot matmul chunk along the slot axis
 
 # rec_fwd layout (F, 32) f32 — everything the forward z-loop needs:
 #   0..2   q0a q0b q0c     q0 = b0*iw0 = q0a*px + q0b*py + q0c
@@ -199,7 +213,12 @@ def bin_triangles(rec_fwd, v_clip, faces, height, width, cap):
         & valid[None, None, :]
     )                                        # (TY, TX, F)
     counts = overlap.sum(axis=-1)
-    order = jnp.argsort(~overlap, axis=-1, stable=True)
+    # sort each bin by ymin (ties: ascending face id via stable sort) so the
+    # forward z-loop's chunk-level band skip sees y-coherent chunks; the
+    # kernels' (depth, fid)-lexicographic z-test makes the result
+    # order-independent, so the sort is purely a performance choice
+    key = jnp.where(overlap, ymin[None, None, :], jnp.inf)
+    order = jnp.argsort(key, axis=-1, stable=True)
     if order.shape[-1] < cap:
         order = jnp.pad(order, ((0, 0), (0, 0), (0, cap - order.shape[-1])))
     bins = order[..., :cap].astype(jnp.int32)
@@ -235,75 +254,189 @@ def check_bin_overflow(v_clip, faces, resolution, cap=None):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(counts_ref, rec_ref, u_ref, v_ref, z_ref, fid_ref, slot_ref,
-                c0_ref, c1_ref, c2_ref,
-                zb, ub, vb, sb, fb, r0b, r1b, r2b,
+def _pixel_lanes(ti, tj, height, width):
+    """Pixel-center NDC coords in the (1, P) lane layout (p = row·W + col)."""
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, _P), 1)
+    pcol = (pidx % TILE_W).astype(jnp.float32)
+    prow = (pidx // TILE_W).astype(jnp.float32)
+    px = ((tj * TILE_W).astype(jnp.float32) + pcol + 0.5) * (2.0 / width) - 1.0
+    py = ((ti * TILE_H).astype(jnp.float32) + prow + 0.5) * (2.0 / height) - 1.0
+    return px, py
+
+
+def _chunks(cap):
+    """Static (base, width) chunking of the slot axis for one-hot matmuls."""
+    if cap <= _OH:
+        return [(0, cap)]
+    assert cap % _OH == 0, cap     # suggest_cap rounds to multiples of 128
+    return [(h, _OH) for h in range(0, cap, _OH)]
+
+
+def _split3(x):
+    """Exact-ish 3-term bf16 decomposition: x ≈ hi + mid + lo to ~2⁻²⁴
+    relative — full f32 effective precision from bf16 MXU passes."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot_gather(recT_ref, slot_plane, cap, count, facc):
+    """Owner-field gather as chunked one-hot MXU matmuls.
+
+    recT_ref → (32, cap); slot_plane (1, P) int32 with -1 = background;
+    facc (32, P) VMEM scratch.  Computes recT[:, slot_plane] (zeros where
+    background) into facc — the TPU-idiomatic replacement for a per-pixel
+    row gather.  Chunks past ``count`` are skipped (their slots are never
+    referenced).
+    """
+    facc[...] = jnp.zeros(facc.shape, jnp.float32)
+    terms = _split3(recT_ref[...])
+    for h, w in _chunks(cap):
+        @pl.when(h < count)
+        def _():
+            # NOTE: `iota == slot` here vs `(iota - key) == 0` in
+            # _onehot_reduce is deliberate: Mosaic crashes when one one-hot
+            # value feeds dots of both contraction orientations, so the two
+            # builders must not CSE together.
+            iota = jax.lax.broadcasted_iota(jnp.int32, (w, _P), 0) + h
+            ohb = (iota == slot_plane).astype(jnp.bfloat16)
+            for t in terms:
+                facc[...] += jax.lax.dot_general(
+                    t[:, h:h + w], ohb, ((((1,), (0,))), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+
+def _onehot_reduce(S_ref, key_col, key_plane, G, cap, count):
+    """Per-slot sums as chunked one-hot MXU matmuls.
+
+    key_col (cap, 1) per-slot key (f32); key_plane (1, P) per-pixel key;
+    G (Q, P) per-pixel quantities.  Writes into the (cap, 128) VMEM scratch
+    ``S_ref`` (128-lane so Mosaic's tile-aligned-store rule holds):
+    S[t, :Q] = Σ_{p: key_plane[p] == key_col[t]} G[:, p]; columns ≥ Q zero.
+    The caller copies ``S_ref[...][:, :ncols]`` into its output block.
+    """
+    q = G.shape[0]
+    if q < 128:
+        # pad quantity rows to the scratch lane width: whole-row stores only
+        G = jnp.concatenate(
+            [G, jnp.zeros((128 - q, G.shape[1]), jnp.float32)], axis=0)
+    S_ref[...] = jnp.zeros(S_ref.shape, jnp.float32)
+    terms = _split3(G)
+    for h, w in _chunks(cap):
+        @pl.when(h < count)
+        def _():
+            ohb = ((key_col[h:h + w] - key_plane) == 0.0).astype(jnp.bfloat16)
+            acc = None
+            for t in terms:
+                d = jax.lax.dot_general(ohb, t, ((((1,), (1,))), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            S_ref[pl.ds(h, w), :] = acc
+
+
+def _onehot_gather_bykey(recT_ref, key_col, key_plane, cap, count, facc):
+    """Like :func:`_onehot_gather` but matching on per-slot key VALUES
+    (e.g. face ids) instead of slot positions.  key_col (cap, 1) f32;
+    key_plane (1, P) f32.  Padded slots carry key 0; a 0-valued pixel key
+    (background owner) then matches every padded slot, summing their
+    all-zero records — harmless by construction."""
+    facc[...] = jnp.zeros(facc.shape, jnp.float32)
+    terms = _split3(recT_ref[...])
+    for h, w in _chunks(cap):
+        @pl.when(h < count)
+        def _():
+            ohb = (key_col[h:h + w] == key_plane).astype(jnp.bfloat16)
+            for t in terms:
+                facc[...] += jax.lax.dot_general(
+                    t[:, h:h + w], ohb, ((((1,), (0,))), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(counts_ref, rec_ref, recT_ref, u_ref, v_ref, z_ref, fid_ref,
+                slot_ref, c0_ref, c1_ref, c2_ref, zb, fb, sb, facc,
                 *, cap, chunk, height, width):
     ci = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
-
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(jnp.float32)
-    px = ((tj * TILE_W).astype(jnp.float32) + col + 0.5) * (2.0 / width) - 1.0
+    px, py = _pixel_lanes(ti, tj, height, width)
     tile_y0 = (ti * TILE_H).astype(jnp.float32)
 
-    zb[...] = jnp.full((TILE_H, TILE_W), _BIG, jnp.float32)
-    ub[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    vb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    sb[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
-    fb[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    r0b[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    r1b[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    r2b[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    zb[...] = jnp.full((1, _P), _BIG, jnp.float32)
+    fb[...] = jnp.full((1, _P), _BIG, jnp.float32)
+    sb[...] = jnp.full((1, _P), -1.0, jnp.float32)
 
+    # Mosaic only supports integer iota; cast after
+    sub_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (chunk, _BAND_P), 0).astype(jnp.float32)
+
+    # ---- z-loop: triangles vectorized over the chunk (sublane) axis ------
+    # Winner selection is (depth, fid)-lexicographic — order-independent,
+    # equal to the oracle's ascending-face-id scan with a strict z test.
     def chunk_body(c, carry):
         rec = rec_ref[0, 0, 0, pl.ds(c * chunk, chunk), :]    # (chunk, 32)
-        for k in range(chunk):
-            r = rec[k]
-            ymin, ymax, fid = r[12], r[13], r[14]
-            slot = (c * chunk + k).astype(jnp.float32)
-            for band in range(_BANDS):
-                y0 = tile_y0 + band * 8
+        cymin = jnp.min(rec[:, 12:13])
+        cymax = jnp.max(rec[:, 13:14])
+        fid_col = rec[:, 14:15]                               # (chunk, 1)
+        slot0 = (c * chunk).astype(jnp.float32)
+        for band in range(_BANDS):
+            y0 = tile_y0 + band * 8
 
-                @pl.when((ymax >= y0) & (ymin < y0 + 8.0) & (fid > 0.0))
-                def _():
-                    py = (y0 + row8 + 0.5) * (2.0 / height) - 1.0
-                    q0 = r[0] * px + r[1] * py + r[2]
-                    q1 = r[3] * px + r[4] * py + r[5]
-                    s = r[6] * px + r[7] * py + r[8]
-                    d = r[9] * px + r[10] * py + r[11]
-                    q2 = s - q0 - q1
-                    cov = (q0 >= 0.0) & (q1 >= 0.0) & (q2 >= 0.0) & (s > 0.0)
-                    dm = jnp.where(cov, d, _BIG)
-                    sl = slice(band * 8, band * 8 + 8)
-                    closer = dm < zb[sl]
-                    inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
-                    u = q0 * inv_s
-                    v = q1 * inv_s
-                    zb[sl] = jnp.where(closer, dm, zb[sl])
-                    ub[sl] = jnp.where(closer, u, ub[sl])
-                    vb[sl] = jnp.where(closer, v, vb[sl])
-                    sb[sl] = jnp.where(closer, slot, sb[sl])
-                    fb[sl] = jnp.where(closer, fid, fb[sl])
-                    r0b[sl] = jnp.where(closer, u * r[16] + v * r[17] + r[18], r0b[sl])
-                    r1b[sl] = jnp.where(closer, u * r[19] + v * r[20] + r[21], r1b[sl])
-                    r2b[sl] = jnp.where(closer, u * r[22] + v * r[23] + r[24], r2b[sl])
+            @pl.when((cymax >= y0) & (cymin < y0 + 8.0))
+            def _():
+                sl = slice(band * _BAND_P, (band + 1) * _BAND_P)
+                pxb = px[0:1, sl]
+                pyb = py[0:1, sl]
+                q0 = rec[:, 0:1] * pxb + rec[:, 1:2] * pyb + rec[:, 2:3]
+                q1 = rec[:, 3:4] * pxb + rec[:, 4:5] * pyb + rec[:, 5:6]
+                s = rec[:, 6:7] * pxb + rec[:, 7:8] * pyb + rec[:, 8:9]
+                d = rec[:, 9:10] * pxb + rec[:, 10:11] * pyb + rec[:, 11:12]
+                q2 = s - q0 - q1
+                cov = (q0 >= 0.0) & (q1 >= 0.0) & (q2 >= 0.0) & (s > 0.0)
+                dm = jnp.where(cov, d, _BIG)                  # (chunk, BAND_P)
+                m = jnp.min(dm, axis=0, keepdims=True)        # (1, BAND_P)
+                fidw = jnp.min(jnp.where(dm == m, fid_col, _BIG),
+                               axis=0, keepdims=True)
+                slotw = jnp.min(
+                    jnp.where((dm == m) & (fid_col == fidw),
+                              sub_iota + slot0, _BIG),
+                    axis=0, keepdims=True)
+                zs = zb[0:1, sl]
+                fs = fb[0:1, sl]
+                # the == clause must see real coverage: with no candidate,
+                # m == zs == _BIG and the chunk's min fid must NOT win
+                closer = (m < zs) | ((m == zs) & (fidw < fs) & (m < _BIG))
+                zb[0:1, sl] = jnp.where(closer, m, zs)
+                fb[0:1, sl] = jnp.where(closer, fidw, fs)
+                sb[0:1, sl] = jnp.where(closer, slotw, sb[0:1, sl])
         return carry
 
     n_chunks = jnp.minimum((count + chunk - 1) // chunk, cap // chunk)
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    covered = fb[...] > 0.0
-    u_ref[0] = ub[...]
-    v_ref[0] = vb[...]
-    z_ref[0] = jnp.where(covered, zb[...], 0.0)
-    fid_ref[0] = fb[...]
-    slot_ref[0] = jnp.where(covered, sb[...], -1.0)
-    c0_ref[0] = jnp.where(covered, r0b[...], 0.0)
-    c1_ref[0] = jnp.where(covered, r1b[...], 0.0)
-    c2_ref[0] = jnp.where(covered, r2b[...], 0.0)
+    # ---- finalize: gather the winner's record, interpolate densely -------
+    slot_plane = sb[...]
+    _onehot_gather(recT_ref[0, 0, 0], slot_plane.astype(jnp.int32), cap,
+                   count, facc)
+    f = facc[...]                                            # (32, P)
+    q0 = f[0:1] * px + f[1:2] * py + f[2:3]
+    q1 = f[3:4] * px + f[4:5] * py + f[5:6]
+    s = f[6:7] * px + f[7:8] * py + f[8:9]
+    inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
+    u = q0 * inv_s
+    v = q1 * inv_s
+    covered = slot_plane >= 0.0
+    shape2d = (TILE_H, TILE_W)
+    u_ref[0] = u.reshape(shape2d)
+    v_ref[0] = v.reshape(shape2d)
+    z_ref[0] = jnp.where(covered, zb[...], 0.0).reshape(shape2d)
+    fid_ref[0] = f[14:15].reshape(shape2d)
+    slot_ref[0] = slot_plane.reshape(shape2d)
+    c0_ref[0] = (u * f[16:17] + v * f[17:18] + f[18:19]).reshape(shape2d)
+    c1_ref[0] = (u * f[19:20] + v * f[20:21] + f[21:22]).reshape(shape2d)
+    c2_ref[0] = (u * f[22:23] + v * f[23:24] + f[24:25]).reshape(shape2d)
 
 
 def _interpret() -> bool:
@@ -322,6 +455,7 @@ def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
     if interpret is None:
         interpret = _interpret()
     C, ty, tx = counts_b.shape
+    recT = jnp.swapaxes(rec_fwd_b, -1, -2)        # (C, TY, TX, 32, cap)
     kernel = partial(_fwd_kernel, cap=cap, chunk=chunk,
                      height=height, width=width)
     out_shape = [jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * 8
@@ -332,17 +466,21 @@ def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
             pl.BlockSpec((1, 1, 1, cap, 32),
                          lambda c, i, j, counts: (c, i, j, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 32, cap),
+                         lambda c, i, j, counts: (c, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W),
                          lambda c, i, j, counts: (c, i, j),
                          memory_space=pltpu.VMEM)
         ] * 8,
-        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 8,
+        scratch_shapes=[pltpu.VMEM((1, _P), jnp.float32)] * 3
+        + [pltpu.VMEM((32, _P), jnp.float32)],
     )
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-    )(counts_b, rec_fwd_b)
+    )(counts_b, rec_fwd_b, recT)
     return outs
 
 
@@ -359,77 +497,31 @@ def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
 _NQ = 18   # dsx0,dsy0,dsx1,dsy1,dsx2,dsy2, diw0..2, dA00,dA01,dA02,... dA22
 
 
-def _bwd_kernel(counts_ref, rec_ref, slot_ref, dc0_ref, dc1_ref, dc2_ref,
-                du_ref, dv_ref, out_ref, *fields,
-                cap, chunk, height, width):
+def _bwd_kernel(counts_ref, recT_ref, slot_ref, dc0_ref, dc1_ref, dc2_ref,
+                du_ref, dv_ref, out_ref, facc, Sacc,
+                *, cap, chunk, height, width):
     ci = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
-    (b0p, b1p, iw0p, iw1p, iw2p, sx0p, sy0p, sx1p, sy1p, sx2p, sy2p,
-     invap, p0p, q0p, p1p, q1p, p2p, q2p) = fields
+    px, py = _pixel_lanes(ti, tj, height, width)
 
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(jnp.float32)
-    colf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    rowf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    px_full = ((tj * TILE_W).astype(jnp.float32) + colf + 0.5) * (2.0 / width) - 1.0
-    py_full = ((ti * TILE_H).astype(jnp.float32) + rowf + 0.5) * (2.0 / height) - 1.0
-    px8 = ((tj * TILE_W).astype(jnp.float32) + row8 * 0 +
-           jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(jnp.float32)
-           + 0.5) * (2.0 / width) - 1.0
-    tile_y0 = (ti * TILE_H).astype(jnp.float32)
+    slot_plane = slot_ref[0].reshape(1, _P)
 
-    for f_ in fields:
-        f_[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    # ---- phase A: per-pixel owner fields via one-hot MXU gather ----------
+    _onehot_gather(recT_ref[0, 0, 0], slot_plane.astype(jnp.int32), cap,
+                   count, facc)
+    f = facc[...]                                              # (32, P)
 
-    slot_plane = slot_ref[0]
-
-    # ---- phase A: per-pixel owner fields via masked selects -------------
-    def chunk_body(c, carry):
-        rec = rec_ref[0, 0, 0, pl.ds(c * chunk, chunk), :]
-        for k in range(chunk):
-            r = rec[k]
-            ymin, ymax = r[26], r[27]
-            slotval = (c * chunk + k).astype(jnp.float32)
-            for band in range(_BANDS):
-                y0 = tile_y0 + band * 8
-
-                @pl.when((ymax >= y0) & (ymin < y0 + 8.0))
-                def _():
-                    sl = slice(band * 8, band * 8 + 8)
-                    py = (y0 + row8 + 0.5) * (2.0 / height) - 1.0
-                    m = slot_plane[sl] == slotval
-                    b0 = r[0] * px8 + r[1] * py + r[2]
-                    b1 = r[3] * px8 + r[4] * py + r[5]
-                    b0p[sl] = jnp.where(m, b0, b0p[sl])
-                    b1p[sl] = jnp.where(m, b1, b1p[sl])
-                    iw0p[sl] = jnp.where(m, r[6], iw0p[sl])
-                    iw1p[sl] = jnp.where(m, r[7], iw1p[sl])
-                    iw2p[sl] = jnp.where(m, r[8], iw2p[sl])
-                    sx0p[sl] = jnp.where(m, r[9], sx0p[sl])
-                    sy0p[sl] = jnp.where(m, r[10], sy0p[sl])
-                    sx1p[sl] = jnp.where(m, r[11], sx1p[sl])
-                    sy1p[sl] = jnp.where(m, r[12], sy1p[sl])
-                    sx2p[sl] = jnp.where(m, r[13], sx2p[sl])
-                    sy2p[sl] = jnp.where(m, r[14], sy2p[sl])
-                    invap[sl] = jnp.where(m, r[15], invap[sl])
-                    p0p[sl] = jnp.where(m, r[16], p0p[sl])
-                    q0p[sl] = jnp.where(m, r[17], q0p[sl])
-                    p1p[sl] = jnp.where(m, r[18], p1p[sl])
-                    q1p[sl] = jnp.where(m, r[19], q1p[sl])
-                    p2p[sl] = jnp.where(m, r[20], p2p[sl])
-                    q2p[sl] = jnp.where(m, r[21], q2p[sl])
-        return carry
-
-    n_chunks = jnp.minimum((count + chunk - 1) // chunk, cap // chunk)
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-    # ---- phase B: dense per-pixel gradient math --------------------------
-    dc0, dc1, dc2 = dc0_ref[0], dc1_ref[0], dc2_ref[0]
-    b0, b1 = b0p[...], b1p[...]
-    iw0, iw1, iw2 = iw0p[...], iw1p[...], iw2p[...]
-    du = dc0 * p0p[...] + dc1 * p1p[...] + dc2 * p2p[...] + du_ref[0]
-    dv = dc0 * q0p[...] + dc1 * q1p[...] + dc2 * q2p[...] + dv_ref[0]
+    # ---- phase B: dense per-pixel gradient math (lane layout) ------------
+    dc0 = dc0_ref[0].reshape(1, _P)
+    dc1 = dc1_ref[0].reshape(1, _P)
+    dc2 = dc2_ref[0].reshape(1, _P)
+    b0 = f[0:1] * px + f[1:2] * py + f[2:3]
+    b1 = f[3:4] * px + f[4:5] * py + f[5:6]
+    iw0, iw1, iw2 = f[6:7], f[7:8], f[8:9]
+    du = dc0 * f[16:17] + dc1 * f[18:19] + dc2 * f[20:21] + du_ref[0].reshape(1, _P)
+    dv = dc0 * f[17:18] + dc1 * f[19:20] + dc2 * f[21:22] + dv_ref[0].reshape(1, _P)
     b2 = 1.0 - b0 - b1
     s = b0 * iw0 + b1 * iw1 + b2 * iw2
     inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
@@ -445,35 +537,28 @@ def _bwd_kernel(counts_ref, rec_ref, slot_ref, dc0_ref, dc1_ref, dc2_ref,
     diw0 = b0 * (du - h) * inv_s
     diw1 = b1 * (dv - h) * inv_s
     diw2 = -h * b2 * inv_s
-    inva = invap[...]
+    inva = f[15:16]
     g0 = db0 * inva
     g1 = db1 * inva
     garea = -(b0 * db0 + b1 * db1) * inva
-    sx0, sy0 = sx0p[...], sy0p[...]
-    sx1, sy1 = sx1p[...], sy1p[...]
-    sx2, sy2 = sx2p[...], sy2p[...]
-    dsx0 = g1 * (py_full - sy2) + garea * (sy1 - sy2)
-    dsy0 = g1 * (sx2 - px_full) + garea * (sx2 - sx1)
-    dsx1 = g0 * (sy2 - py_full) + garea * (sy2 - sy0)
-    dsy1 = g0 * (px_full - sx2) + garea * (sx0 - sx2)
-    dsx2 = g0 * (py_full - sy1) + g1 * (sy0 - py_full) + garea * (sy0 - sy1)
-    dsy2 = g0 * (sx1 - px_full) + g1 * (px_full - sx0) + garea * (sx1 - sx0)
+    sx0, sy0, sx1, sy1, sx2, sy2 = (f[9:10], f[10:11], f[11:12],
+                                    f[12:13], f[13:14], f[14:15])
+    dsx0 = g1 * (py - sy2) + garea * (sy1 - sy2)
+    dsy0 = g1 * (sx2 - px) + garea * (sx2 - sx1)
+    dsx1 = g0 * (sy2 - py) + garea * (sy2 - sy0)
+    dsy1 = g0 * (px - sx2) + garea * (sx0 - sx2)
+    dsx2 = g0 * (py - sy1) + g1 * (sy0 - py) + garea * (sy0 - sy1)
+    dsy2 = g0 * (sx1 - px) + g1 * (px - sx0) + garea * (sx1 - sx0)
 
-    quantities = (dsx0, dsy0, dsx1, dsy1, dsx2, dsy2, diw0, diw1, diw2,
-                  dA00, dA01, dA02, dA10, dA11, dA12, dA20, dA21, dA22)
+    G = jnp.concatenate(
+        (dsx0, dsy0, dsx1, dsy1, dsx2, dsy2, diw0, diw1, diw2,
+         dA00, dA01, dA02, dA10, dA11, dA12, dA20, dA21, dA22), axis=0)
 
     # ---- phase C: per-pixel -> per-slot reduction on the MXU -------------
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, TILE_W), 0).astype(jnp.float32)
-    acc = jnp.zeros((cap, _NQ), jnp.float32)
-    for r_ in range(TILE_H):
-        oh = (slot_iota == slot_plane[r_:r_ + 1, :]).astype(jnp.float32)
-        G = jnp.concatenate([q[r_:r_ + 1, :] for q in quantities], axis=0)
-        acc = acc + jax.lax.dot_general(
-            oh, G, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    out_ref[0, 0, 0] = jnp.pad(acc, ((0, 0), (0, 32 - _NQ)))
+    key_col = jax.lax.broadcasted_iota(
+        jnp.int32, (cap, 1), 0).astype(jnp.float32)
+    _onehot_reduce(Sacc, key_col, slot_plane, G, cap, count)
+    out_ref[0, 0, 0] = Sacc[...][:, :32]
 
 
 @partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "interpret"))
@@ -491,6 +576,7 @@ def raster_bwd_pallas(rec_bwd_b, counts_b, slot, d_col, d_u, d_v,
     if interpret is None:
         interpret = _interpret()
     C, ty, tx = counts_b.shape
+    recT = jnp.swapaxes(rec_bwd_b, -1, -2)        # (C, TY, TX, 32, cap)
     kernel = partial(_bwd_kernel, cap=cap, chunk=chunk,
                      height=height, width=width)
     plane = pl.BlockSpec((1, TILE_H, TILE_W),
@@ -500,7 +586,7 @@ def raster_bwd_pallas(rec_bwd_b, counts_b, slot, d_col, d_u, d_v,
         num_scalar_prefetch=1,
         grid=(C, ty, tx),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, cap, 32),
+            pl.BlockSpec((1, 1, 1, 32, cap),
                          lambda c, i, j, counts: (c, i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             plane, plane, plane, plane, plane, plane,
@@ -508,13 +594,14 @@ def raster_bwd_pallas(rec_bwd_b, counts_b, slot, d_col, d_u, d_v,
         out_specs=pl.BlockSpec((1, 1, 1, cap, 32),
                                lambda c, i, j, counts: (c, i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 18,
+        scratch_shapes=[pltpu.VMEM((32, _P), jnp.float32),
+                        pltpu.VMEM((cap, 128), jnp.float32)],
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, ty, tx, cap, 32), jnp.float32),
         interpret=interpret,
-    )(counts_b, rec_bwd_b, slot,
+    )(counts_b, recT, slot,
       d_col[..., 0], d_col[..., 1], d_col[..., 2], d_u, d_v)
 
 
@@ -534,6 +621,11 @@ def _setup_and_bin(v_clip, faces, attrs, opp, height, width, cap):
         live = (bins >= 0)[..., None]
         rfb = jnp.where(live, rec_fwd[safe], 0.0)
         rbb = jnp.where(live, rec_bwd[safe], 0.0)
+        # padded slots: empty y-range so they can't poison the forward
+        # kernel's chunk-level band-bbox test (a zeroed row reads as y=0)
+        dead = bins < 0
+        rfb = rfb.at[..., 12].set(jnp.where(dead, 1e9, rfb[..., 12]))
+        rfb = rfb.at[..., 13].set(jnp.where(dead, -1e9, rfb[..., 13]))
         return (rfb.reshape(ty, tx, cap, 32), rbb.reshape(ty, tx, cap, 32),
                 bins.reshape(ty, tx, cap),
                 jnp.minimum(counts, cap).astype(jnp.int32).reshape(ty, tx))
@@ -560,6 +652,57 @@ def _chain_to_clip(dslot, rec_bwd_b):
     dw = -iw * iw * diw - iw * (dsx * sx + dsy * sy)
     dz = jnp.zeros_like(dx)
     return jnp.stack([dx, dy, dz, dw], axis=-1)           # (..., 3, 4)
+
+
+def build_incidence(faces, n_verts):
+    """Static vertex←(face, corner) incidence in padded-row (ELL) form.
+
+    Returns (idx (V, K) int64 flat indices into a corner-major (F·3 + pad)
+    table, mask (V, K)); padded entries point at the sentinel row 3F (the
+    bin-padding accumulator, which is zero by construction).  Host, once
+    per topology epoch."""
+    faces = np.asarray(faces)
+    F = faces.shape[0]
+    vids = faces.reshape(-1)                     # entry j = face j//3, corner j%3
+    order = np.argsort(vids, kind="stable")
+    counts = np.bincount(vids, minlength=n_verts)
+    K = int(counts.max())
+    offsets = np.zeros(n_verts + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    k_idx = np.arange(K)[None, :]
+    valid = k_idx < counts[:, None]
+    slot = np.where(valid, offsets[:-1, None] + k_idx, 0)
+    idx = np.where(valid, order[slot], 3 * F).astype(np.int64)
+    return idx, valid
+
+
+def _scatter_via_faces(dclip, dA, bins, incidence, n_faces, n_verts):
+    """Slot grads -> vertex grads through a per-face table.
+
+    TPU rationale: one segment_sum over the (C·tiles·cap) slot entries
+    builds a per-(camera, face, corner) table, then the face→vertex step is
+    a STATIC padded-row gather (the mesh incidence) — replacing the
+    original triple-width dynamic scatter, whose XLA lowering dominated the
+    backward (measured ~9 ms of a 43 ms step at 13×256²).
+
+    dclip (C,TY,TX,cap,3,4); dA (C,TY,TX,cap,3,3); bins (C,TY,TX,cap).
+    Returns (dv_clip (C, V, 4), d_attrs (V, 3))."""
+    idx, mask = incidence
+    C = dclip.shape[0]
+    F = n_faces
+    table = jnp.concatenate([dclip, dA], axis=-1)         # (...,3,7)
+    table = table.reshape(C, -1, 21)
+    ids = jnp.where(bins >= 0, bins, F).reshape(C, -1)
+    dface = jax.vmap(
+        lambda t, i: jax.ops.segment_sum(t, i, num_segments=F + 1)
+    )(table, ids)                                          # (C, F+1, 21)
+    per_corner = dface.reshape(C, (F + 1) * 3, 7)
+    idxj = jnp.asarray(idx.reshape(-1))
+    gathered = jax.vmap(lambda d: jnp.take(d, idxj, axis=0))(per_corner)
+    gathered = gathered.reshape(C, *idx.shape, 7)
+    gathered = gathered * jnp.asarray(mask, gathered.dtype)[None, :, :, None]
+    dv = gathered.sum(axis=2)                              # (C, V, 7)
+    return dv[..., :4], dv[..., 4:7].sum(axis=0)
 
 
 def _scatter_to_vertices(dclip, dA, bins, faces, n_verts, segment_fn=None):
@@ -607,6 +750,13 @@ def make_render_core(faces, opp, resolution, cap=768, chunk=8):
     fj = np.ascontiguousarray(np.asarray(faces), dtype=np.int32)
     oj = np.ascontiguousarray(np.asarray(opp), dtype=np.int32)
 
+    inc_cache = {}
+
+    def _inc(n_verts):
+        if n_verts not in inc_cache:
+            inc_cache[n_verts] = build_incidence(fj, n_verts)
+        return inc_cache[n_verts]
+
     @jax.custom_vjp
     def core(v_clip, attrs):
         out, _ = core_fwd(v_clip, attrs)
@@ -630,7 +780,8 @@ def make_render_core(faces, opp, resolution, cap=768, chunk=8):
                                   resolution, cap, chunk)
         dclip = _chain_to_clip(dslot, rbb)
         dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
-        dv_clip, d_attrs = _scatter_to_vertices(dclip, dA, bins, fj, n_verts)
+        dv_clip, d_attrs = _scatter_via_faces(dclip, dA, bins, _inc(n_verts),
+                                              fj.shape[0], n_verts)
         return dv_clip, d_attrs
 
     core.defvjp(core_fwd, core_bwd)
@@ -658,35 +809,26 @@ def render_core(v_clip, attrs, faces, opp, resolution, cap=768, chunk=8):
 # placement: only the crossing parameter t is differentiable, through the
 # edge functions ea/eb, to the two edge endpoints' screen coordinates.
 
-def _aa_owner_fields(count, rec_ref, slot_own_h, slot_own_v, own_h, own_v,
-                     fields_h, fields_v, tile_y0, row8, cap, chunk):
-    """Phase A: select the owner triangle's screen coords / opp ids per pixel
-    for the horizontal and vertical pair owners."""
-    def chunk_body(c, carry):
-        rec = rec_ref[0, 0, 0, pl.ds(c * chunk, chunk), :]
-        for k in range(chunk):
-            r = rec[k]
-            ymin, ymax, fid = r[26], r[27], r[22]
-            slotval = (c * chunk + k).astype(jnp.float32)
-            for band in range(_BANDS):
-                y0 = tile_y0 + band * 8
+def _aa_fields(f):
+    """The 9 owner planes _aa_pair_t consumes, sliced from a gathered SLIM
+    field block (16, P): sx0 sy0 sx1 sy1 sx2 sy2 opp1 opp2 opp3 (see
+    _aa_slim_recT — the AA kernels gather only the 10 rec_bwd rows they
+    use, halving the one-hot gather matmuls vs the full 32-row record)."""
+    return [f[0:1], f[1:2], f[2:3], f[3:4], f[4:5], f[5:6],
+            f[7:8], f[8:9], f[9:10]]
 
-                @pl.when((ymax >= y0 - 1.0) & (ymin < y0 + 9.0))
-                def _():
-                    sl = slice(band * 8, band * 8 + 8)
-                    for own, slot_own, fields in (
-                            (own_h, slot_own_h, fields_h),
-                            (own_v, slot_own_v, fields_v)):
-                        m = own[sl] == fid
-                        for fi, col_idx in enumerate(
-                                (9, 10, 11, 12, 13, 14, 23, 24, 25)):
-                            fields[fi][sl] = jnp.where(m, r[col_idx],
-                                                       fields[fi][sl])
-                        slot_own[sl] = jnp.where(m, slotval, slot_own[sl])
-        return carry
 
-    n_chunks = jnp.minimum((count + chunk - 1) // chunk, cap // chunk)
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+def _aa_slim_recT(rec_bwd_b):
+    """(C,TY,TX,cap,32) → slim transposed records (C,TY,TX,16,cap): the 10
+    rec_bwd rows the AA kernels use — sx/sy ×3 (9..14), fid (22),
+    opp ×3 (23..25) — zero-padded to 16 sublanes.  Built from two
+    contiguous static slices (an index-array gather here lowers to a
+    per-element XLA gather and costs ~15 ms at 13×256²)."""
+    slim = jnp.concatenate(
+        [rec_bwd_b[..., 9:15], rec_bwd_b[..., 22:26]], axis=-1)
+    slimT = jnp.swapaxes(slim, -1, -2)                # (..., 10, cap)
+    pad = [(0, 0)] * (slimT.ndim - 2) + [(0, 6), (0, 0)]
+    return jnp.pad(slimT, pad)
 
 
 def _aa_pair_t(fields, pax, pay, d_ex, d_ey, other_fid):
@@ -741,7 +883,7 @@ def _aa_common(fid, z, fid_n, z_n):
     return owner, other, differs
 
 
-def _aa_fwd_kernel(counts_ref, rec_ref,
+def _aa_fwd_kernel(counts_ref, rec_ref, recT_ref,
                    fid_ref, z_ref, fidr_ref, zr_ref, fidd_ref, zd_ref,
                    *rest, cap, chunk, height, width, D):
     col_refs = rest[:D]
@@ -750,41 +892,35 @@ def _aa_fwd_kernel(counts_ref, rec_ref,
     out_refs = rest[3 * D:4 * D]
     dbh_refs = rest[4 * D:5 * D]
     dbv_refs = rest[5 * D:6 * D]
-    scratch = rest[6 * D:]
-    (slot_own_h, slot_own_v) = scratch[0], scratch[1]
-    fields_h = scratch[2:11]
-    fields_v = scratch[11:20]
+    facc = rest[6 * D]
 
     ci = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
-    tile_y0 = (ti * TILE_H).astype(jnp.float32)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(jnp.float32)
-    colf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    rowf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    pax = ((tj * TILE_W).astype(jnp.float32) + colf + 0.5) * (2.0 / width) - 1.0
-    pay = ((ti * TILE_H).astype(jnp.float32) + rowf + 0.5) * (2.0 / height) - 1.0
+    pax, pay = _pixel_lanes(ti, tj, height, width)
     dxw = 2.0 / width
     dyh = 2.0 / height
+    shape2d = (TILE_H, TILE_W)
 
-    fid, z = fid_ref[0], z_ref[0]
-    own_h, oth_h, dif_h = _aa_common(fid, z, fidr_ref[0], zr_ref[0])
-    own_v, oth_v, dif_v = _aa_common(fid, z, fidd_ref[0], zd_ref[0])
+    fid = fid_ref[0].reshape(1, _P)
+    z = z_ref[0].reshape(1, _P)
+    own_h, oth_h, dif_h = _aa_common(fid, z, fidr_ref[0].reshape(1, _P),
+                                     zr_ref[0].reshape(1, _P))
+    own_v, oth_v, dif_v = _aa_common(fid, z, fidd_ref[0].reshape(1, _P),
+                                     zd_ref[0].reshape(1, _P))
+    fid_col = rec_ref[0, 0, 0][:, 22:23]                       # (cap, 1)
 
-    for s in scratch:
-        s[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    slot_own_h[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
-    slot_own_v[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    results = []
+    for own, oth, d_ex, d_ey in ((own_h, oth_h, dxw, 0.0),
+                                 (own_v, oth_v, 0.0, dyh)):
+        _onehot_gather_bykey(recT_ref[0, 0, 0], fid_col, own, cap, count,
+                             facc)
+        t, found, _, _ = _aa_pair_t(_aa_fields(facc[...]),
+                                    pax, pay, d_ex, d_ey, oth)
+        results.append((t, found))
+    (t_h, found_h), (t_v, found_v) = results
 
-    _aa_owner_fields(count, rec_ref, slot_own_h, slot_own_v, own_h, own_v,
-                     [f for f in fields_h], [f for f in fields_v],
-                     tile_y0, row8, cap, chunk)
-
-    t_h, found_h, _, _ = _aa_pair_t([f[...] for f in fields_h],
-                                    pax, pay, dxw, 0.0, oth_h)
-    t_v, found_v, _, _ = _aa_pair_t([f[...] for f in fields_v],
-                                    pax, pay, 0.0, dyh, oth_v)
     act_h = dif_h & (own_h > 0.0) & found_h
     act_v = dif_v & (own_v > 0.0) & found_v
     wa_h = jnp.where(act_h & (t_h < 0.5), 0.5 - t_h, 0.0)
@@ -793,12 +929,12 @@ def _aa_fwd_kernel(counts_ref, rec_ref,
     wb_v = jnp.where(act_v & (t_v >= 0.5), t_v - 0.5, 0.0)
 
     for c in range(D):
-        col = col_refs[c][0]
-        dh = colr_refs[c][0] - col
-        dv_ = cold_refs[c][0] - col
-        out_refs[c][0] = col + wa_h * dh + wa_v * dv_
-        dbh_refs[c][0] = -wb_h * dh
-        dbv_refs[c][0] = -wb_v * dv_
+        col = col_refs[c][0].reshape(1, _P)
+        dh = colr_refs[c][0].reshape(1, _P) - col
+        dv_ = cold_refs[c][0].reshape(1, _P) - col
+        out_refs[c][0] = (col + wa_h * dh + wa_v * dv_).reshape(shape2d)
+        dbh_refs[c][0] = (-wb_h * dh).reshape(shape2d)
+        dbv_refs[c][0] = (-wb_v * dv_).reshape(shape2d)
 
 
 def _plane_spec():
@@ -838,6 +974,7 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
     if interpret is None:
         interpret = _interpret()
     C, ty, tx = counts_b.shape
+    recT = _aa_slim_recT(rec_bwd_b)
     fid_r, z_r = _shift_left(fid), _shift_left(z)
     fid_d, z_d = _shift_up(fid), _shift_up(z)
     col_r = _shift_left(color)
@@ -852,17 +989,20 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
         grid=(C, ty, tx),
         in_specs=[pl.BlockSpec((1, 1, 1, cap, 32),
                                lambda c, i, j, counts: (c, i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, 1, 16, cap),
+                               lambda c, i, j, counts: (c, i, j, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [_plane_spec()] * n_in_planes,
         out_specs=[_plane_spec()] * n_out,
-        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 20,
+        scratch_shapes=[pltpu.VMEM((16, _P), jnp.float32)],
     )
     chans = lambda a: [a[..., c] for c in range(D)]
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * n_out,
         interpret=interpret,
-    )(counts_b, rec_bwd_b, fid, z, fid_r, z_r, fid_d, z_d,
+    )(counts_b, rec_bwd_b, recT, fid, z, fid_r, z_r, fid_d, z_d,
       *chans(color), *chans(col_r), *chans(col_d))
     out = jnp.stack(outs[:D], axis=-1)
     db_h = jnp.stack(outs[D:2 * D], axis=-1)
@@ -872,7 +1012,7 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
 
 
 
-def _aa_bwd_kernel(counts_ref, rec_ref,
+def _aa_bwd_kernel(counts_ref, rec_ref, recT_ref,
                    fid_ref, z_ref, fidr_ref, zr_ref, fidd_ref, zd_ref,
                    *rest, cap, chunk, height, width, D):
     col_refs = rest[:D]
@@ -885,50 +1025,35 @@ def _aa_bwd_kernel(counts_ref, rec_ref,
     dbh_refs = rest[7 * D:8 * D]
     dbv_refs = rest[8 * D:9 * D]
     dslot_ref = rest[9 * D]
-    scratch = rest[9 * D + 1:]
-    slot_own_h, slot_own_v = scratch[0], scratch[1]
-    fields_h = scratch[2:11]
-    fields_v = scratch[11:20]
+    facc, S0, S1 = rest[9 * D + 1], rest[9 * D + 2], rest[9 * D + 3]
 
     ci = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
-    tile_y0 = (ti * TILE_H).astype(jnp.float32)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(jnp.float32)
-    colf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    rowf = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    pax = ((tj * TILE_W).astype(jnp.float32) + colf + 0.5) * (2.0 / width) - 1.0
-    pay = ((ti * TILE_H).astype(jnp.float32) + rowf + 0.5) * (2.0 / height) - 1.0
+    pax, pay = _pixel_lanes(ti, tj, height, width)
     dxw = 2.0 / width
     dyh = 2.0 / height
+    shape2d = (TILE_H, TILE_W)
 
-    fid, z = fid_ref[0], z_ref[0]
-    own_h, oth_h, dif_h = _aa_common(fid, z, fidr_ref[0], zr_ref[0])
-    own_v, oth_v, dif_v = _aa_common(fid, z, fidd_ref[0], zd_ref[0])
+    fid = fid_ref[0].reshape(1, _P)
+    z = z_ref[0].reshape(1, _P)
+    own_h, oth_h, dif_h = _aa_common(fid, z, fidr_ref[0].reshape(1, _P),
+                                     zr_ref[0].reshape(1, _P))
+    own_v, oth_v, dif_v = _aa_common(fid, z, fidd_ref[0].reshape(1, _P),
+                                     zd_ref[0].reshape(1, _P))
+    fid_col = rec_ref[0, 0, 0][:, 22:23]                       # (cap, 1)
 
-    for s in scratch:
-        s[...] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    slot_own_h[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
-    slot_own_v[...] = jnp.full((TILE_H, TILE_W), -1.0, jnp.float32)
+    dcol_acc = [jnp.zeros((1, _P), jnp.float32) for _ in range(D)]
 
-    _aa_owner_fields(count, rec_ref, slot_own_h, slot_own_v, own_h, own_v,
-                     [f for f in fields_h], [f for f in fields_v],
-                     tile_y0, row8, cap, chunk)
-
-    for c in range(D):
-        dcol_refs[c][0] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-
-    dsx = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(3)]
-    dsy = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(3)]
-
-    for (fields, oth, dif, own, d_ex, d_ey, coln_refs, doutn_refs,
-         dcolb_refs) in (
-            (fields_h, oth_h, dif_h, own_h, dxw, 0.0, colr_refs, doutr_refs,
-             dbh_refs),
-            (fields_v, oth_v, dif_v, own_v, 0.0, dyh, cold_refs, doutd_refs,
-             dbv_refs)):
-        fvals = [f[...] for f in fields]
+    for direction, (oth, dif, own, d_ex, d_ey, coln_refs, doutn_refs,
+                    dcolb_refs) in enumerate((
+            (oth_h, dif_h, own_h, dxw, 0.0, colr_refs, doutr_refs, dbh_refs),
+            (oth_v, dif_v, own_v, 0.0, dyh, cold_refs, doutd_refs,
+             dbv_refs))):
+        _onehot_gather_bykey(recT_ref[0, 0, 0], fid_col, own, cap, count,
+                             facc)
+        fvals = _aa_fields(facc[...])
         t, found, takes, geos = _aa_pair_t(fvals, pax, pay, d_ex, d_ey, oth)
         act = dif & (own > 0.0) & found
         lo = act & (t < 0.5)
@@ -938,15 +1063,17 @@ def _aa_bwd_kernel(counts_ref, rec_ref,
         # color gradients
         dt = jnp.zeros_like(t)
         for c in range(D):
-            diff = coln_refs[c][0] - col_refs[c][0]
-            dout = dout_refs[c][0]
-            doutn = doutn_refs[c][0]
-            dcol_refs[c][0] += -wa * dout + wb * doutn
-            dcolb_refs[c][0] = wa * dout - wb * doutn
+            diff = coln_refs[c][0].reshape(1, _P) - col_refs[c][0].reshape(1, _P)
+            dout = dout_refs[c][0].reshape(1, _P)
+            doutn = doutn_refs[c][0].reshape(1, _P)
+            dcol_acc[c] = dcol_acc[c] - wa * dout + wb * doutn
+            dcolb_refs[c][0] = (wa * dout - wb * doutn).reshape(shape2d)
             dt = dt - diff * jnp.where(lo, dout, jnp.where(hi, doutn, 0.0))
         # t -> edge endpoints (only the winning edge's take mask is set)
         pbx = pax + d_ex
         pby = pay + d_ey
+        dsx = [jnp.zeros((1, _P), jnp.float32) for _ in range(3)]
+        dsy = [jnp.zeros((1, _P), jnp.float32) for _ in range(3)]
         for e in range(3):
             take = takes[e]
             ea, eb, den, ax, ay, bx, by = geos[e]
@@ -964,28 +1091,16 @@ def _aa_bwd_kernel(counts_ref, rec_ref,
             dsx[j1] = dsx[j1] + dbx
             dsy[j1] = dsy[j1] + dby
 
-        # phase C: per-slot endpoint sums (keyed by this direction's owner)
-        slot_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (cap, TILE_W), 0).astype(jnp.float32)
-        slot_own = slot_own_h if d_ey == 0.0 else slot_own_v
-        quantities = (dsx[0], dsy[0], dsx[1], dsy[1], dsx[2], dsy[2])
-        acc = jnp.zeros((cap, 8), jnp.float32)
-        for r_ in range(TILE_H):
-            oh = (slot_iota == slot_own[r_:r_ + 1, :]).astype(jnp.float32)
-            G = jnp.concatenate(
-                [q[r_:r_ + 1, :] for q in quantities]
-                + [jnp.zeros((2, TILE_W), jnp.float32)], axis=0)
-            acc = acc + jax.lax.dot_general(
-                oh, G, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        if d_ey == 0.0:
-            dslot_ref[0, 0, 0] = acc
-        else:
-            dslot_ref[0, 0, 0] += acc
-        dsx = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(3)]
-        dsy = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(3)]
+        # per-slot endpoint sums, keyed by this direction's owner face id
+        G = jnp.concatenate(
+            (dsx[0], dsy[0], dsx[1], dsy[1], dsx[2], dsy[2]), axis=0)
+        _onehot_reduce(S0 if direction == 0 else S1, fid_col, own, G,
+                       cap, count)
+
+    for c in range(D):
+        dcol_refs[c][0] = dcol_acc[c].reshape(shape2d)
+    # single output write — no read-modify-write across direction passes
+    dslot_ref[0, 0, 0] = (S0[...] + S1[...])[:, :8]
 
 
 @partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "D", "interpret"))
@@ -999,6 +1114,7 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
     if interpret is None:
         interpret = _interpret()
     C, ty, tx = counts_b.shape
+    recT = _aa_slim_recT(rec_bwd_b)
     fid_r, z_r = _shift_left(fid), _shift_left(z)
     fid_d, z_d = _shift_up(fid), _shift_up(z)
     col_r = _shift_left(color)
@@ -1014,13 +1130,18 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
         grid=(C, ty, tx),
         in_specs=[pl.BlockSpec((1, 1, 1, cap, 32),
                                lambda c, i, j, counts: (c, i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, 1, 16, cap),
+                               lambda c, i, j, counts: (c, i, j, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [_plane_spec()] * n_in_planes,
         out_specs=[_plane_spec()] * (3 * D)
         + [pl.BlockSpec((1, 1, 1, cap, 8),
                         lambda c, i, j, counts: (c, i, j, 0, 0),
                         memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 20,
+        scratch_shapes=[pltpu.VMEM((16, _P), jnp.float32),
+                        pltpu.VMEM((cap, 128), jnp.float32),
+                        pltpu.VMEM((cap, 128), jnp.float32)],
     )
     chans = lambda a: [a[..., c] for c in range(D)]
     outs = pl.pallas_call(
@@ -1028,7 +1149,7 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
         out_shape=[jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * (3 * D)
         + [jax.ShapeDtypeStruct((C, ty, tx, cap, 8), jnp.float32)],
         interpret=interpret,
-    )(counts_b, rec_bwd_b, fid, z, fid_r, z_r, fid_d, z_d,
+    )(counts_b, rec_bwd_b, recT, fid, z, fid_r, z_r, fid_d, z_d,
       *chans(color), *chans(col_r), *chans(col_d),
       *chans(d_out), *chans(dout_r), *chans(dout_d))
     dcol = jnp.stack(outs[:D], axis=-1) + d_out
@@ -1065,6 +1186,12 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
     fj = np.ascontiguousarray(np.asarray(faces), dtype=np.int32)
     oj = np.ascontiguousarray(np.asarray(opp), dtype=np.int32)
     D = 4 if shading else 3
+    inc_cache = {}
+
+    def _inc(n_verts):
+        if n_verts not in inc_cache:
+            inc_cache[n_verts] = build_incidence(fj, n_verts)
+        return inc_cache[n_verts]
 
     @jax.custom_vjp
     def pipe(v_clip, attrs, bg):
@@ -1089,21 +1216,38 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
         return out, res
 
     def pipe_bwd(res, g):
+        import os
+        ablate = os.environ.get("LS_ABLATE", "")   # internal profiling knob
         rbb, bins, counts, slot, fid, z, comp, cov, n_verts, bg_shape = res
-        d_comp, dslot_aa = aa_bwd_pallas(rbb, counts, fid, z, comp, g,
-                                         resolution, cap, D=D)
+        if "aabwd" in ablate:
+            d_comp, dslot_aa = g, jnp.zeros(
+                (*counts.shape, cap, 8), jnp.float32)
+        else:
+            d_comp, dslot_aa = aa_bwd_pallas(rbb, counts, fid, z, comp, g,
+                                             resolution, cap, D=D)
         if shading:
             d_color = jnp.where(cov, d_comp[..., :3], 0.0)
         else:
             d_color = d_comp
-        dslot = raster_bwd_pallas(rbb, counts, slot, d_color,
-                                  jnp.zeros_like(fid), jnp.zeros_like(fid),
-                                  resolution, cap)
+        if "rbwd" in ablate:
+            dslot = jnp.zeros((*counts.shape, cap, 32), jnp.float32)
+        else:
+            dslot = raster_bwd_pallas(rbb, counts, slot, d_color,
+                                      jnp.zeros_like(fid),
+                                      jnp.zeros_like(fid),
+                                      resolution, cap)
         # combine raster + (boosted) antialias screen-space sums, then chain
         dslot = dslot.at[..., 0:6].add(boost * dslot_aa[..., 0:6])
         dclip = _chain_to_clip(dslot, rbb)
         dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
-        dv_clip, d_attrs = _scatter_to_vertices(dclip, dA, bins, fj, n_verts)
+        if "scatter" in ablate:
+            dv_clip = jnp.zeros((counts.shape[0], n_verts, 4), jnp.float32) \
+                + dclip.sum() * 0
+            d_attrs = jnp.zeros((n_verts, 3), jnp.float32)
+        else:
+            dv_clip, d_attrs = _scatter_via_faces(dclip, dA, bins,
+                                                  _inc(n_verts),
+                                                  fj.shape[0], n_verts)
         # bg cotangent: comp = where(cov, col4, bg), so d_bg is d_comp over
         # uncovered pixels (the antialias blend contribution is already part
         # of d_comp).  The reference treats bgs as a non-trained buffer, but

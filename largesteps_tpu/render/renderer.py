@@ -112,28 +112,36 @@ class Renderer:
         envmap = scene_params.get("envmap_scale", 1.0) * envmap
         self.sh_M = sh_matrices(envmap)
         self.bgs = render_backgrounds(envmap, self.view_mats, self.fov_x, self.res)
+        # SPMD: parallel.sharding.shard_renderer attaches these; with a mesh
+        # present the pallas path runs under shard_map (cameras sharded over
+        # cam_axes) and the xla path relies on GSPMD operand shardings
+        self.mesh = None
+        self.cam_axes = None
 
     def check_overflow(self, v, topology: Topology, grow: bool = True):
         """Validate bin occupancy for the current vertices (host diagnostic;
         call once per topology epoch, outside jit).  Bin overflow under-draws
         tiles deterministically with no runtime signal, so the driver checks
         at epoch/remesh boundaries and (with ``grow=True``) resizes
-        ``bin_cap`` before the first traced render.  Returns the measured
-        max occupancy."""
+        ``bin_cap`` before the first traced render — in BOTH directions:
+        the kernels' per-tile cost scales with the capacity (rec tables,
+        one-hot chunks), so an oversized default cap wastes real time.
+        Returns the measured max occupancy."""
         if self.backend != "pallas":
             return 0
         from .pallas_core import check_bin_overflow, suggest_cap
         v_ndc = project(jnp.asarray(v), self.mvps)
         occ = check_bin_overflow(v_ndc, topology.faces, self.res)
-        if occ > self.bin_cap:
+        fit = suggest_cap(occ)
+        if occ > self.bin_cap or fit < self.bin_cap:
             if grow:
-                self.bin_cap = suggest_cap(occ)
-            else:
+                self.bin_cap = fit
+            elif occ > self.bin_cap:
                 import warnings
                 warnings.warn(
                     f"raster bin occupancy {occ} exceeds bin_cap "
                     f"{self.bin_cap}; tiles will under-draw (suggest "
-                    f"bin_cap={suggest_cap(occ)})")
+                    f"bin_cap={fit})")
         return occ
 
     def render(self, v, n, topology: Topology):
@@ -155,8 +163,25 @@ class Renderer:
                 topology._pipe_cache[key] = pipe
             if self.shading:
                 attrs = sh_eval(self.sh_M, n) / np.pi   # (V, 3)
-                return pipe(v_ndc, attrs, self.bgs)
-            return pipe(v_ndc, jnp.ones_like(v), None)
+                args = (v_ndc, attrs, self.bgs)
+            else:
+                args = (v_ndc, jnp.ones_like(v), None)
+            if self.mesh is None:
+                return pipe(*args)
+            # SPMD: each device runs the fused kernels on its camera shard;
+            # the custom_vjp's replicated-operand cotangents (attrs, and
+            # v through the MVP transpose) are psum'd by shard_map's AD
+            from jax.sharding import PartitionSpec as P
+            cam = P(self.cam_axes)
+            if args[2] is None:
+                local = lambda vc, at: pipe(vc, at, None)
+                return jax.shard_map(local, mesh=self.mesh,
+                                     in_specs=(cam, P()), out_specs=cam,
+                                     check_vma=False)(args[0], args[1])
+            local = lambda vc, at, bg: pipe(vc, at, bg)
+            return jax.shard_map(local, mesh=self.mesh,
+                                 in_specs=(cam, P(), cam), out_specs=cam,
+                                 check_vma=False)(*args)
         faces = jnp.asarray(topology.faces)
         rast = rasterize(v_ndc, faces, self.res, self.chunk)
         if self.shading:

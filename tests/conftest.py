@@ -29,10 +29,31 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# LS_TEST_TPU=1 keeps the real TPU backend so @pytest.mark.tpu tests can
+# check COMPILED (non-interpret) Pallas kernels against the oracle on
+# hardware; default runs everything on the virtual CPU mesh.
+RUN_TPU = os.environ.get("LS_TEST_TPU") == "1"
+if not RUN_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs the real TPU chip (run with LS_TEST_TPU=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "tpu" in item.keywords and not RUN_TPU:
+            item.add_marker(pytest.mark.skip(
+                reason="compiled-kernel parity needs LS_TEST_TPU=1"))
+        elif "tpu" not in item.keywords and RUN_TPU:
+            # TPU session runs ONLY the hardware-parity suite: everything
+            # else assumes the CPU mesh (and would serialize on the tunnel)
+            item.add_marker(pytest.mark.skip(reason="CPU-mesh test"))
 
 
 @pytest.fixture(scope="session")

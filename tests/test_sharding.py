@@ -87,3 +87,42 @@ def test_dryrun_multichip():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def _driver_run(sharding, res_hw, steps=4, remesh=None):
+    from largesteps_tpu.driver import optimize_shape
+    h, w = res_hw
+    scene = make_scene(source=("icosphere", 2), target=("gourd", 2),
+                       n_views=8, res=32)
+    scene["res_y"], scene["res_x"] = h, w
+    params = {"steps": steps, "step_size": 0.05, "lambda": 9.0, "boost": 3,
+              "solver": "CG", "sharding": sharding}
+    if remesh is not None:
+        params["remesh"] = remesh
+    return optimize_shape(scene, params)
+
+
+@pytest.mark.parametrize("res", [(32, 32), (32, 128)])
+def test_driver_sharded_matches_single(res):
+    """Directive: ONE driver code path composes sharding with the full
+    step; sharded-vs-single allclose through BOTH render backends —
+    (32, 32) auto-selects xla/GSPMD, (32, 128) auto-selects the fused
+    pallas kernels running under shard_map on the 8-device CPU mesh."""
+    single = _driver_run(None, res)
+    shard = _driver_run({"dp": 4, "sp": 2}, res)
+    np.testing.assert_allclose(shard["losses"][:, 0], single["losses"][:, 0],
+                               rtol=2e-4, atol=2e-6)
+    # per-step gradients agree to f32 rounding; cross-device psum ordering
+    # drift compounds through 4 AdamUniform steps, hence the looser bar
+    np.testing.assert_allclose(shard["v_final"], single["v_final"],
+                               rtol=0, atol=1e-3)
+
+
+def test_driver_sharded_remesh_event():
+    """Sharding composes with a remesh event (topology epoch change) in
+    the same driver path."""
+    single = _driver_run(None, (32, 32), steps=4, remesh=[2])
+    shard = _driver_run({"dp": 4, "sp": 2}, (32, 32), steps=4, remesh=[2])
+    assert single["f"][1].shape == shard["f"][1].shape   # same remesh result
+    np.testing.assert_allclose(shard["losses"][:, 0], single["losses"][:, 0],
+                               rtol=5e-4, atol=5e-6)

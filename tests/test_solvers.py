@@ -117,3 +117,46 @@ def test_solve_under_jit(system):
         return from_differential(M, uu, "Cholesky").sum()
 
     assert np.isfinite(float(step(u)))
+
+
+def test_blocked_matvec_matches_coo():
+    from largesteps_tpu.core.solvers import _BlockMatvec
+    from largesteps_tpu.core.sparse import coo_matvec
+    from largesteps_tpu.core.blocksp import (rcm_permutation, permuted_coo,
+                                             BlockedOperator)
+    v, f = icosphere(3)
+    M = compute_matrix(v, f, lambda_=19.0)
+    n = M.shape[0]
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((n, 3)),
+                    jnp.float32)
+    # identity-ordering wrapper
+    mv = _BlockMatvec(M, block=128)
+    np.testing.assert_allclose(np.asarray(mv(x)),
+                               np.asarray(coo_matvec(M, x)),
+                               rtol=0, atol=2e-4)
+    # RCM-permuted operator round-trip
+    st = M.structure
+    perm, inv = rcm_permutation(st.rows, st.cols, n)
+    n_pad = ((n + 127) // 128) * 128
+    Mp = permuted_coo(M, inv, n_pad)
+    op = BlockedOperator(Mp, np.arange(n_pad, dtype=np.int64), 128)
+    xp = jnp.pad(x[jnp.asarray(perm)], ((0, n_pad - n), (0, 0)))
+    yp = op.matvec(xp)
+    y = yp[jnp.asarray(inv)]
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(coo_matvec(M, x)),
+                               rtol=0, atol=2e-4)
+
+
+def test_block_amg_solver_roundtrip():
+    from largesteps_tpu.core.solvers import BlockAmgSolver
+    v, f = icosphere(4)
+    M = compute_matrix(v, f, lambda_=19.0)
+    vj = jnp.asarray(v)
+    u = to_differential(M, vj)
+    slv = BlockAmgSolver(M, tol=1e-6)
+    x = slv.solve(u)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(vj), atol=5e-4)
+    # warm start accepted
+    x2 = slv.solve(u, x0=x)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(vj), atol=5e-4)
