@@ -38,7 +38,11 @@ def bench_solve():
     from largesteps_tpu.core.solvers import solve as diff_solve, cg_solve
 
     out = []
-    for subdiv, method in ((4, "Cholesky"), (6, "Cholesky"), (7, "CG")):
+    # "Cholesky" is the driver's default solver at EVERY size — the 163,842v
+    # row exercises exactly what a driver step at nefertiti scale runs
+    # (block-tridiagonal LDL^T tier, core/banded.py)
+    for subdiv, method in ((4, "Cholesky"), (6, "Cholesky"), (7, "Cholesky"),
+                           (7, "CG")):
         v, f = icosphere(subdiv)
         n = v.shape[0]
         M = compute_matrix(v, f, lambda_=19.0)
@@ -47,20 +51,17 @@ def bench_solve():
         iters = 50 if n < 100_000 else 10
 
         @jax.jit
-        def chain(u0):
+        def chain(slv, u0):
             def body(i, x):
-                return diff_solve(solver, x * 0.999 + u * 0.001)
+                return diff_solve(slv, x * 0.999 + u * 0.001)
             return jax.lax.fori_loop(0, iters, body, u0)
 
-        fetch(chain(u))        # compile
+        fetch(chain(solver, u))        # compile
         t0 = time.perf_counter()
-        fetch(chain(u))
+        fetch(chain(solver, u))
         ms = (time.perf_counter() - t0) / iters * 1e3
-        # label by the solver path that actually ran, not the one requested
-        # (CholeskySolver silently degrades to CG above DENSE_LIMIT verts)
-        ran = method.lower()
-        if method == "Cholesky" and getattr(solver, "inv", None) is None:
-            ran = "cg_fallback"
+        # label by the tier that actually executed, not the one requested
+        ran = getattr(solver, "tier", method.lower())
         out.append({"metric": f"from_differential_ms_{ran}_{n}v",
                     "value": round(ms, 3), "unit": "ms", "vs_baseline": None})
     return out

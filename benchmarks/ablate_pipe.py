@@ -1,4 +1,4 @@
-"""Differential timing of the fused pipeline via LS_ABLATE (run on chip).
+"""Differential timing of the fused pipeline stages (run on chip).
 
 Each ablation zeroes one backward stage inside pipe_bwd; the time DELTA vs
 the full pipeline is that stage's true in-pipe cost (the standalone stage
@@ -46,9 +46,9 @@ def main():
     it = 20
 
     for ablate in ("", "scatter", "rbwd", "aabwd", "scatter,rbwd,aabwd"):
-        os.environ["LS_ABLATE"] = ablate
         pipe = pc.make_render_pipeline(topo.faces, topo.opp, renderer.res,
-                                       shading=True, boost=3.0, cap=cap)
+                                       shading=True, boost=3.0, cap=cap,
+                                       ablate=ablate)
 
         @jax.jit
         def fb(vc):
@@ -62,7 +62,6 @@ def main():
         fetch(fb(v_ndc))
         ms = (time.perf_counter() - t0) / it * 1e3
         print(f"f+b ablate={ablate or 'none':22s} {ms:8.3f} ms", flush=True)
-    os.environ.pop("LS_ABLATE", None)
 
 
 if __name__ == "__main__":

@@ -85,10 +85,14 @@ class BlockedOperator:
         self.hbm_bytes = int(blocks.nbytes)
 
     def matvec(self, xp: jax.Array) -> jax.Array:
-        """Permuted-space ``A @ x``; xp (n_pad, k) or (n_pad,)."""
+        """Permuted-space ``A @ x``; xp (n_pad, k)/(n,) — shorter inputs are
+        zero-padded to ``n_pad`` and the result sliced back to match."""
         squeeze = xp.ndim == 1
         if squeeze:
             xp = xp[:, None]
+        n_in = xp.shape[0]
+        if n_in < self.n_pad:
+            xp = jnp.pad(xp, ((0, self.n_pad - n_in), (0, 0)))
         k = xp.shape[1]
         xg = xp.reshape(self.groups, self.block, k)
         xb = jnp.take(xg, self.col_group, axis=0)          # (NB, B, k)
@@ -100,8 +104,25 @@ class BlockedOperator:
         yg = jax.ops.segment_sum(yb, self.row_group,
                                  num_segments=self.groups,
                                  indices_are_sorted=True)
-        y = yg.reshape(self.n_pad, k)
+        y = yg.reshape(self.n_pad, k)[:n_in]
         return y[:, 0] if squeeze else y
+
+    __call__ = matvec
+
+
+def _flatten_bop(op):
+    return ((op.blocks, op.row_group, op.col_group),
+            (op.n, op.block, op.n_pad, op.groups, op.n_blocks, op.hbm_bytes))
+
+
+def _unflatten_bop(aux, children):
+    op = object.__new__(BlockedOperator)
+    op.blocks, op.row_group, op.col_group = children
+    op.n, op.block, op.n_pad, op.groups, op.n_blocks, op.hbm_bytes = aux
+    return op
+
+
+jax.tree_util.register_pytree_node(BlockedOperator, _flatten_bop, _unflatten_bop)
 
 
 def permuted_coo(M: SparseCOO, inv_perm: np.ndarray,

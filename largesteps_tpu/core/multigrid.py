@@ -31,7 +31,6 @@ unrolled at trace time (the hierarchy depth is static per epoch).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
 
 import numpy as np
 import jax
@@ -88,30 +87,65 @@ def greedy_aggregate(rows: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
     return agg.astype(np.int32)
 
 
+def _apply_op(op, x):
+    """Matvec dispatch: SparseCOO (gather/segment) or BlockedOperator (MXU
+    dense-block) — both registered pytrees, so levels pass through jit as
+    arguments (no program-embedded constants — the round-3 HTTP 413 fix)."""
+    from .blocksp import BlockedOperator
+    if isinstance(op, BlockedOperator):
+        return op.matvec(x)
+    return coo_matvec(op, x)
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class _Level:
-    A: SparseCOO                      # operator at this level
+    op: object                        # SparseCOO | BlockedOperator
     inv_diag: jax.Array               # 1 / diag(A)
-    agg: np.ndarray | None            # fine row -> coarse aggregate id
-    n_coarse: int | None
-    matvec: Callable                  # x -> A @ x
+    agg: jax.Array | None             # fine row -> coarse aggregate id
+    n_coarse: int | None              # static
+
+    def tree_flatten(self):
+        return (self.op, self.inv_diag, self.agg), self.n_coarse
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux)
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class AmgHierarchy:
     levels: list                      # of _Level, fine -> coarse
     coarse_inv: jax.Array             # dense inverse at the coarsest level
-    omega: float = 0.8
+    omega: float = 0.8                # static
+
+    def tree_flatten(self):
+        return (self.levels, self.coarse_inv), self.omega
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
 
 
 def build_hierarchy(M: SparseCOO, coarse_limit: int = 4096,
                     max_levels: int = 6, omega: float = 0.8,
-                    matvec_factory: Callable | None = None) -> AmgHierarchy:
+                    block_limit: int | None = None,
+                    block: int = 128) -> AmgHierarchy:
     """Build the AMG hierarchy for SPD ``M`` (host setup, device arrays).
 
-    ``matvec_factory(level_coo) -> callable`` may supply a faster matvec
-    per level (e.g. the banded-block kernel); defaults to ``coo_matvec``.
+    Levels with ≥ ``block_limit`` rows get the dense-block MXU matvec
+    (core/blocksp.py) instead of the COO gather/segment one; ``M`` must
+    already be bandwidth-ordered for the block form to be worthwhile.
     """
+    from .blocksp import BlockedOperator
+
+    def make_op(A):
+        if block_limit is not None and A.shape[0] >= block_limit:
+            return BlockedOperator(A, np.arange(A.shape[0], dtype=np.int64),
+                                   block)
+        return A
+
     levels = []
     rows = M.structure.rows.astype(np.int64)
     cols = M.structure.cols.astype(np.int64)
@@ -124,11 +158,9 @@ def build_hierarchy(M: SparseCOO, coarse_limit: int = 4096,
         n_c = int(agg.max()) + 1
         if n_c >= n:       # aggregation stalled
             break
-        mv = matvec_factory(A) if matvec_factory else (
-            lambda x, A=A: coo_matvec(A, x))
         levels.append(_Level(
-            A=A, inv_diag=1.0 / A.diagonal(), agg=agg, n_coarse=n_c,
-            matvec=mv,
+            op=make_op(A), inv_diag=1.0 / A.diagonal(),
+            agg=jnp.asarray(agg), n_coarse=n_c,
         ))
         # Galerkin coarse operator: relabel + coalesce (numpy, f64)
         rc = agg[rows].astype(np.int64)
@@ -156,10 +188,8 @@ def build_hierarchy(M: SparseCOO, coarse_limit: int = 4096,
     with jax.default_matmul_precision("highest"):
         c, low = jax.scipy.linalg.cho_factor(jnp.asarray(dense, jnp.float32))
         inv = jax.scipy.linalg.cho_solve((c, low), jnp.eye(n, dtype=jnp.float32))
-    mv = matvec_factory(A) if matvec_factory else (
-        lambda x, A=A: coo_matvec(A, x))
-    levels.append(_Level(A=A, inv_diag=1.0 / A.diagonal(), agg=None,
-                         n_coarse=None, matvec=mv))
+    levels.append(_Level(op=make_op(A), inv_diag=1.0 / A.diagonal(), agg=None,
+                         n_coarse=None))
     return AmgHierarchy(levels=levels, coarse_inv=jax.block_until_ready(inv),
                         omega=omega)
 
@@ -174,12 +204,12 @@ def vcycle(h: AmgHierarchy, b: jax.Array, lvl: int = 0) -> jax.Array:
     d = level.inv_diag[:, None] if b.ndim == 2 else level.inv_diag
     # pre-smooth from zero: x = ω D⁻¹ b
     x = om * d * b
-    r = b - level.matvec(x)
-    agg = jnp.asarray(level.agg)
+    r = b - _apply_op(level.op, x)
+    agg = level.agg
     r_c = jax.ops.segment_sum(r, agg, num_segments=level.n_coarse)
     x = x + vcycle(h, r_c, lvl + 1)[agg]
     # post-smooth
-    x = x + om * d * (b - level.matvec(x))
+    x = x + om * d * (b - _apply_op(level.op, x))
     return x
 
 
@@ -196,7 +226,7 @@ def amg_pcg_solve(h: AmgHierarchy, b: jax.Array, x0: jax.Array | None = None,
         x0 = None if x0 is None else x0[:, None]
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    matvec = h.levels[0].matvec
+    matvec = lambda x: _apply_op(h.levels[0].op, x)
 
     r0 = b - matvec(x0)
     z0 = vcycle(h, r0)
@@ -230,19 +260,31 @@ def amg_pcg_solve(h: AmgHierarchy, b: jax.Array, x0: jax.Array | None = None,
     return x[:, 0] if squeeze else x
 
 
+@jax.tree_util.register_pytree_node_class
 class MultigridSolver:
     """AMG-PCG solver with the reference solver-object surface
     (factor-once-per-epoch lifetime, repeated cheap solves; the TPU
-    replacement for cholespy at ≥100k vertices)."""
+    fallback tier for meshes whose RCM bandwidth defeats the banded
+    direct solver, core/banded.py)."""
 
     method = "AMG"
 
     def __init__(self, M: SparseCOO, tol: float = 1e-6,
-                 coarse_limit: int = 4096, matvec_factory=None):
+                 coarse_limit: int = 4096, block_limit: int | None = None):
         self.M = M
         self.tol = tol
         self.h = build_hierarchy(M, coarse_limit=coarse_limit,
-                                 matvec_factory=matvec_factory)
+                                 block_limit=block_limit)
 
     def solve(self, b, x0=None):
         return amg_pcg_solve(self.h, b, x0=x0, tol=self.tol)
+
+    def tree_flatten(self):
+        return (self.M, self.h), self.tol
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        slv = object.__new__(cls)
+        slv.M, slv.h = children
+        slv.tol = aux
+        return slv

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from .sparse import SparseCOO, coo_matvec
 
 __all__ = ["CholeskySolver", "CholeskyHostSolver", "ConjugateGradientSolver",
-           "cg_solve", "solve", "DENSE_LIMIT"]
+           "BlockAmgSolver", "cg_solve", "solve", "DENSE_LIMIT"]
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +96,7 @@ def cg_solve(M: SparseCOO, b: jax.Array, x0: jax.Array | None = None,
     return x
 
 
+@jax.tree_util.register_pytree_node_class
 class ConjugateGradientSolver:
     """Thin object wrapper matching the reference solver surface
     (largesteps/solvers.py:41-56).  Stateless: warm starts are passed in."""
@@ -109,6 +110,15 @@ class ConjugateGradientSolver:
     def solve(self, b, x0=None):
         return cg_solve(self.M, b, x0=x0, tol=self.tol)
 
+    def tree_flatten(self):
+        return (self.M,), self.tol
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        slv = object.__new__(cls)
+        slv.M, slv.tol = children[0], aux
+        return slv
+
 
 # ---------------------------------------------------------------------------
 # Cholesky (host factorization, callback solve)
@@ -120,20 +130,29 @@ class ConjugateGradientSolver:
 DENSE_LIMIT = 32768
 
 
+@jax.tree_util.register_pytree_node_class
 class CholeskySolver:
-    """Device-resident direct solver: dense Cholesky inverse applied as a
-    matmul.
+    """Device-resident direct solver, tiered by mesh size.
 
     Reference semantics: largesteps/solvers.py:26-39 (cholespy
     CholeskySolverF — factorize once, cheap repeated solves).  TPU design:
-    sparse triangular back-substitution is inherently sequential, so instead
-    the explicit inverse ``M⁻¹`` is materialized ONCE per topology epoch via
-    ``cho_factor``/``cho_solve`` on the MXU (O(n³), amortized like the
-    reference's factorization) and every subsequent solve is one
-    (n, n) @ (n, k) matmul that runs at MXU speed inside the jitted step.
-    Numerics match the reference's float32 solver class.  For
-    ``n > DENSE_LIMIT`` falls back to tight-tolerance CG (the reference's own
-    alternative solver) to bound memory.
+    sparse triangular back-substitution is inherently sequential, so the
+    factor-once work is recast as MXU-friendly dense linear algebra:
+
+      * n ≤ DENSE_LIMIT — the explicit inverse ``M⁻¹`` is materialized ONCE
+        per topology epoch via ``cho_factor``/``cho_solve`` (O(n³),
+        amortized like the reference's factorization); each solve is one
+        (n, n) @ (n, k) matmul.
+      * n > DENSE_LIMIT — RCM reordering makes the mesh system
+        block-tridiagonal (bandwidth O(√n)), factored once by the
+        block LDLᵀ scan in core/banded.py; each solve is two block-sweep
+        scans, a few ms at 163k vertices.
+      * pathological bandwidth — falls back to RCM-blocked AMG-PCG
+        (core/multigrid.py) at the same 1e-6 tolerance.
+
+    Registered as a pytree so driver steps take the solver as a jit
+    ARGUMENT (device buffers), never a closure constant embedded in the
+    compiled program.
     """
 
     method = "Cholesky"
@@ -143,7 +162,7 @@ class CholeskySolver:
         self.n = M.shape[0]
         self.M = M
         self.refine = int(refine)
-        self._amg = None
+        self._big = None
         if self.n <= dense_limit:
             # full f32 precision: the TPU MXU's default bf16 matmul passes
             # are not accurate enough for a direct solver
@@ -155,23 +174,45 @@ class CholeskySolver:
                 )
             self.inv = jax.block_until_ready(inv)
         else:
-            # large-mesh tier: RCM-blocked AMG-PCG (setup once per epoch,
-            # like the factorization) — see core/blocksp.py, core/multigrid.py
+            from .banded import BandedSolver, BandedUnsuitable
             self.inv = None
-            self._amg = BlockAmgSolver(M)
+            try:
+                # refine=0: the factorization alone reaches ~2e-6 relative
+                # residual, already tighter than the reference CG's 1e-5
+                # stopping tolerance (largesteps/solvers.py:73)
+                self._big = BandedSolver(M, refine=0)
+            except BandedUnsuitable:
+                self._big = BlockAmgSolver(M, tol=1e-6)
+
+    @property
+    def tier(self) -> str:
+        """Which implementation actually runs (for honest bench labels)."""
+        if self.inv is not None:
+            return "dense_inv"
+        return "banded" if self._big.method == "Banded" else "blockamg"
 
     def _apply_inv(self, b):
         return jnp.matmul(self.inv, b, precision=jax.lax.Precision.HIGHEST)
 
     def solve(self, b, x0=None):
         if self.inv is None:
-            return self._amg.solve(b, x0=x0)
+            return self._big.solve(b, x0=x0)
         x = self._apply_inv(b)
         # optional iterative refinement (off by default: at HIGHEST matmul
         # precision the explicit inverse is already ~1e-6 accurate)
         for _ in range(self.refine):
             x = x + self._apply_inv(b - coo_matvec(self.M, x))
         return x
+
+    def tree_flatten(self):
+        return (self.M, self.inv, self._big), (self.n, self.refine)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        slv = object.__new__(cls)
+        slv.M, slv.inv, slv._big = children
+        slv.n, slv.refine = aux
+        return slv
 
 
 def _dense_from_coo(M: SparseCOO) -> jax.Array:
@@ -180,6 +221,7 @@ def _dense_from_coo(M: SparseCOO) -> jax.Array:
     return out.at[jnp.asarray(st.rows), jnp.asarray(st.cols)].set(M.vals)
 
 
+@jax.tree_util.register_pytree_node_class
 class CholeskyHostSolver:
     """Factorize ``M`` once on host; solve via ``pure_callback`` under jit.
 
@@ -228,42 +270,33 @@ class CholeskyHostSolver:
             vmap_method="sequential",
         )
 
+    # zero-leaf pytree: the host factorization rides along as static aux
+    # data (the callback closes over host state; nothing lives on device)
+    def tree_flatten(self):
+        return (), self
 
-class _BlockMatvec:
-    """Pad-and-apply wrapper giving a BlockedOperator the plain
-    ``x -> A @ x`` matvec surface the AMG hierarchy expects (identity
-    ordering — the operator must already be bandwidth-ordered)."""
-
-    def __init__(self, A: SparseCOO, block: int = 128):
-        from .blocksp import BlockedOperator
-        self.n = A.shape[0]
-        self.op = BlockedOperator(A, np.arange(self.n, dtype=np.int64),
-                                  block)
-
-    def __call__(self, x):
-        pad = self.op.n_pad - self.n
-        if pad:
-            width = ((0, pad),) if x.ndim == 1 else ((0, pad), (0, 0))
-            x = jnp.pad(x, width)
-        y = self.op.matvec(x)
-        return y[:self.n]
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return aux
 
 
+@jax.tree_util.register_pytree_node_class
 class BlockAmgSolver:
-    """Large-mesh direct-solver replacement: RCM ordering + dense-block MXU
+    """Large-mesh iterative fallback: RCM ordering + dense-block MXU
     matvec + AMG-preconditioned CG (core/blocksp.py rationale).
 
-    Construction cost (RCM, block build, hierarchy) amortizes over a
-    topology epoch exactly like the reference's cholespy factorization
-    (largesteps/solvers.py:26-39); each solve is a handful of ~1 ms
-    matvecs.  Solves run in permuted space; b/x cross the boundary through
-    one V-row gather each way.
+    Used when the RCM bandwidth defeats the block-tridiagonal direct
+    solver (core/banded.py).  Construction cost (RCM, block build,
+    hierarchy) amortizes over a topology epoch exactly like the
+    reference's cholespy factorization (largesteps/solvers.py:26-39).
+    Solves run in permuted space; b/x cross the boundary through one
+    V-row gather each way.
     """
 
     method = "BlockAMG"
     BLOCK_LIMIT = 8192       # levels below this stay on the COO matvec
 
-    def __init__(self, M: SparseCOO, tol: float = 1e-5, block: int = 128):
+    def __init__(self, M: SparseCOO, tol: float = 1e-6, block: int = 128):
         from .blocksp import rcm_permutation, permuted_coo
         from .multigrid import MultigridSolver
 
@@ -275,14 +308,17 @@ class BlockAmgSolver:
         self.n = n
         self.perm = jnp.asarray(perm)
         self.inv_perm = jnp.asarray(inv)
+        self._mg = MultigridSolver(Mp, tol=tol, block_limit=self.BLOCK_LIMIT)
 
-        def factory(A):
-            if A.shape[0] >= self.BLOCK_LIMIT:
-                return _BlockMatvec(A, block)
-            from .sparse import coo_matvec
-            return lambda x, A=A: coo_matvec(A, x)
+    def tree_flatten(self):
+        return (self.perm, self.inv_perm, self._mg), self.n
 
-        self._mg = MultigridSolver(Mp, tol=tol, matvec_factory=factory)
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        slv = object.__new__(cls)
+        slv.perm, slv.inv_perm, slv._mg = children
+        slv.n = aux
+        return slv
 
     def solve(self, b, x0=None):
         squeeze = b.ndim == 1
@@ -301,31 +337,53 @@ class BlockAmgSolver:
 # Differentiable solve (custom VJP, M = Mᵀ trick)
 # ---------------------------------------------------------------------------
 
+def _zero_cotangent(x):
+    """Zero cotangent matching a primal leaf (float0 for integer leaves)."""
+    aval = jax.typeof(x)
+    if jnp.issubdtype(aval.dtype, jnp.inexact):
+        return jnp.zeros(aval.shape, aval.dtype)
+    return np.zeros(aval.shape, jax.dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _solve_p(treedef, b, guess_fwd, guess_bwd, leaves):
+    solver = jax.tree_util.tree_unflatten(treedef, leaves)
+    return solver.solve(b, x0=guess_fwd)
+
+
+def _solve_p_fwd(treedef, b, guess_fwd, guess_bwd, leaves):
+    solver = jax.tree_util.tree_unflatten(treedef, leaves)
+    x = solver.solve(b, x0=guess_fwd)
+    return x, (guess_bwd, leaves)
+
+
+def _solve_p_bwd(treedef, res, g):
+    guess_bwd, leaves = res
+    solver = jax.tree_util.tree_unflatten(treedef, leaves)
+    gb = solver.solve(g, x0=guess_bwd)
+    zeros = tuple(_zero_cotangent(l) for l in leaves)
+    return gb, jnp.zeros_like(gb), jnp.zeros_like(gb), zeros
+
+
+_solve_p.defvjp(_solve_p_fwd, _solve_p_bwd)
+
+
 def solve(solver, b, guess_fwd=None, guess_bwd=None):
     """Differentiable ``M⁻¹ b`` (reference: largesteps/solvers.py:128-148).
 
     Backward applies the same solver to the output cotangent (M symmetric).
     No gradient flows to the matrix or the warm-start guesses.
     ``guess_fwd``/``guess_bwd`` warm-start the CG path (solvers.py:102-124);
-    the Cholesky path ignores them.
+    direct paths ignore them.
+
+    The solver's device buffers are flattened and threaded through the
+    custom_vjp as ARGUMENTS — under an outer ``jit`` they stay ordinary
+    device buffers instead of becoming program-embedded constants, which is
+    what let round 3's 669 MB block table blow up the axon program upload.
     """
     if guess_fwd is None:
         guess_fwd = jnp.zeros_like(b)
     if guess_bwd is None:
         guess_bwd = jnp.zeros_like(b)
-
-    @jax.custom_vjp
-    def _solve(b, guess_fwd, guess_bwd):
-        return solver.solve(b, x0=guess_fwd)
-
-    def _fwd(b, guess_fwd, guess_bwd):
-        x = solver.solve(b, x0=guess_fwd)
-        return x, (guess_bwd,)
-
-    def _bwd(res, g):
-        (guess_bwd,) = res
-        gb = solver.solve(g, x0=guess_bwd)
-        return gb, jnp.zeros_like(gb), jnp.zeros_like(gb)
-
-    _solve.defvjp(_fwd, _bwd)
-    return _solve(b, guess_fwd, guess_bwd)
+    leaves, treedef = jax.tree_util.tree_flatten(solver)
+    return _solve_p(treedef, b, guess_fwd, guess_bwd, tuple(leaves))

@@ -169,54 +169,6 @@ def from_coo(rows, cols, raw_vals, shape) -> SparseCOO:
     return SparseCOO(st, st.coalesce_values(jnp.asarray(raw_vals)))
 
 
-class EllStructure:
-    """Static padded-row (ELL) view of a CooStructure for gather-only matvec.
-
-    TPU rationale: ``segment_sum`` lowers to scatter-add, which XLA
-    serializes; a matvec built ONLY from gathers (every lane reads, nobody
-    writes-conflicts) vectorizes.  Mesh Laplacians have tiny, near-uniform
-    row degree (≤7 for icospheres incl. the diagonal), so padding rows to
-    the max degree K costs almost nothing:
-
-      y[i] = Σ_k  vals[slot[i,k]] · x[col[i,k]]      (slot/col static)
-
-    Padded entries point at slot 0 / col 0 with a zero mask.
-    """
-
-    def __init__(self, st: CooStructure):
-        n = st.shape[0]
-        counts = np.bincount(st.rows, minlength=n)
-        K = int(counts.max())
-        # rows are sorted; k-th entry of row i sits at offset[i] + k
-        offsets = np.zeros(n + 1, np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        k_idx = np.arange(K)[None, :]
-        valid = k_idx < counts[:, None]                     # (n, K)
-        slot = np.where(valid, offsets[:-1, None] + k_idx, 0)
-        self.col = np.where(valid, st.cols[slot], 0).astype(np.int32)
-        self.slot = slot.astype(np.int32)
-        self.mask = valid
-        self.K = K
-        self.n = n
-
-
-def ell_matvec(ell: EllStructure, vals: jax.Array, x: jax.Array) -> jax.Array:
-    """Gather-only ``A @ x`` for x of shape (n,) or (n, k)."""
-    w = vals[jnp.asarray(ell.slot)] * jnp.asarray(ell.mask, vals.dtype)
-    xi = jnp.take(x, jnp.asarray(ell.col).reshape(-1), axis=0)
-    if x.ndim == 1:
-        return (w * xi.reshape(ell.n, ell.K)).sum(axis=1)
-    return (w[..., None] * xi.reshape(ell.n, ell.K, x.shape[1])).sum(axis=1)
-
-
-def ell_matvec_fn(A: "SparseCOO"):
-    """Closure ``x -> A @ x`` using the ELL gather form (structure built
-    once on host, reused every call)."""
-    ell = EllStructure(A.structure)
-    vals = A.vals
-    return lambda x: ell_matvec(ell, vals, x)
-
-
 @partial(jax.jit, static_argnames=("n_rows",))
 def _matvec_impl(rows, cols, vals, x, n_rows):
     contrib = vals[:, None] * x[cols]

@@ -125,7 +125,7 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
     loss_kind = p["loss"]
     bilap = p["bilaplacian"]
 
-    def forward(theta, guess_fwd, guess_bwd):
+    def forward(theta, guess_fwd, guess_bwd, solver):
         if smooth:
             v_unique = diff_solve(solver, theta["u"], guess_fwd, guess_bwd)
         else:
@@ -149,10 +149,13 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
         return loss, (im_loss, bilap_mag, v_unique)
 
     @jax.jit
-    def step(theta, opt_state, guess_fwd, guess_bwd):
+    def jit_step(theta, opt_state, guess_fwd, guess_bwd, solver):
+        # the solver rides in as an ARGUMENT so its factor tables stay
+        # device buffers — closed over, they would be baked into the
+        # compiled program (fatal at 163k verts on the axon client)
         (loss, (im_loss, bilap_mag, v_unique)), grads = jax.value_and_grad(
             forward, has_aux=True
-        )(theta, guess_fwd, guess_bwd)
+        )(theta, guess_fwd, guess_bwd, solver)
         if not use_tr:
             grads["tr"] = jnp.zeros_like(theta["tr"])
         updates, opt_state = tx.update(grads, opt_state, theta)
@@ -160,6 +163,9 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
         new_guess_fwd = jax.lax.stop_gradient(v_unique)
         new_guess_bwd = grads["u"] if smooth else jnp.zeros_like(theta["u"])
         return theta, opt_state, (im_loss, bilap_mag), new_guess_fwd, new_guess_bwd
+
+    def step(theta, opt_state, guess_fwd, guess_bwd):
+        return jit_step(theta, opt_state, guess_fwd, guess_bwd, solver)
 
     return step
 

@@ -57,7 +57,8 @@ def load_scene(filepath):
                             view_mat = translation_matrix(vec) @ view_mat
                         else:
                             raise NotImplementedError(
-                                f"Unsupported transformation tag: '{tr.tag}'"
+                                f"sensor transform element <{tr.tag}> not "
+                                "handled (only <rotate>/<translate> are)"
                             )
             params["view_mats"].append(np.linalg.inv(view_mat).astype(np.float32))
         elif plugin.tag == "emitter" and plugin.attrib.get("type") == "envmap":
@@ -78,8 +79,8 @@ def load_scene(filepath):
                         )
             else:
                 raise NotImplementedError(
-                    f"Unsupported file type '{plugin.attrib['type']}', "
-                    "only PLY is supported currently"
+                    f"shape plugin '{plugin.attrib['type']}' not handled — "
+                    "meshes must be PLY"
                 )
 
     assert "mesh-source" in params, "scene lacks a mesh-source shape"

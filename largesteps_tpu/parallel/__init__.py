@@ -1,1 +1,1 @@
-from .sharding import make_mesh, shard_renderer, build_sharded_step, camera_sharding
+from .sharding import make_mesh, shard_renderer, camera_sharding

@@ -6,7 +6,7 @@ TPU-native design: one process per host, ``jax.distributed.initialize``
 connects them to a coordination service, the device mesh spans all
 processes, and GSPMD collectives ride ICI within a slice / DCN across
 hosts.  Nothing else in the framework changes — the sharded step built by
-``parallel.sharding.build_sharded_step`` (or the driver) is already
+the driver's step builder is already
 expressed over a Mesh; this module supplies process bring-up, global-array
 construction from per-host shards, and process-0-only checkpointing.
 

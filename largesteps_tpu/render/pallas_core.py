@@ -1170,7 +1170,7 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
 # kernels.
 
 def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
-                         cap=768):
+                         cap=768, ablate=""):
     """Build the full fused render op for one topology epoch.
 
     Mirrors NVDRenderer.render (scripts/render.py:204-220): rasterize ->
@@ -1216,8 +1216,10 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
         return out, res
 
     def pipe_bwd(res, g):
-        import os
-        ablate = os.environ.get("LS_ABLATE", "")   # internal profiling knob
+        # ``ablate`` is an explicit constructor argument used only by
+        # benchmarks/ablate_pipe.py to zero one backward stage at a time;
+        # the production path always builds with ablate="" (no env knobs —
+        # a leaked variable must not silently corrupt gradients)
         rbb, bins, counts, slot, fid, z, comp, cov, n_verts, bg_shape = res
         if "aabwd" in ablate:
             d_comp, dslot_aa = g, jnp.zeros(

@@ -98,7 +98,14 @@ class Renderer:
         self.boost = float(boost)
         self.shading = bool(shading)
         self.chunk = int(chunk)
-        self.bin_cap = int(bin_cap)
+        bin_cap = int(bin_cap)
+        if bin_cap > 128 and bin_cap % 128 != 0:
+            raise ValueError(
+                f"bin_cap must be <=128 or a multiple of 128 (the Pallas "
+                f"kernels chunk the slot axis in 128-lane groups); got "
+                f"{bin_cap} — nearest valid: {((bin_cap + 127) // 128) * 128}")
+        self.bin_cap = bin_cap
+        self._bin_cap_floor = self.bin_cap   # configured cap = shrink floor
         self.aa_cap = aa_cap   # boundary-pair capacity (None = auto)
         # backend: 'pallas' = tile-binned Pallas kernel forward (TPU;
         # ~50-80× the XLA scan's throughput) with the shared analytic
@@ -133,15 +140,21 @@ class Renderer:
         v_ndc = project(jnp.asarray(v), self.mvps)
         occ = check_bin_overflow(v_ndc, topology.faces, self.res)
         fit = suggest_cap(occ)
-        if occ > self.bin_cap or fit < self.bin_cap:
-            if grow:
+        if grow:
+            if fit > self.bin_cap:
                 self.bin_cap = fit
-            elif occ > self.bin_cap:
-                import warnings
-                warnings.warn(
-                    f"raster bin occupancy {occ} exceeds bin_cap "
-                    f"{self.bin_cap}; tiles will under-draw (suggest "
-                    f"bin_cap={fit})")
+            elif fit < self.bin_cap // 2:
+                # shrink with hysteresis only: occupancy grows as vertices
+                # take large steps mid-epoch, so one tight epoch must not
+                # strip the accumulated headroom; never below the
+                # constructor-configured cap
+                self.bin_cap = max(fit, self._bin_cap_floor)
+        elif occ > self.bin_cap:
+            import warnings
+            warnings.warn(
+                f"raster bin occupancy {occ} exceeds bin_cap "
+                f"{self.bin_cap}; tiles will under-draw (suggest "
+                f"bin_cap={fit})")
         return occ
 
     def render(self, v, n, topology: Topology):
