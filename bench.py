@@ -183,6 +183,76 @@ def bench_step():
             "vs_baseline": round(iters_per_s / REFERENCE_ITERS_PER_S, 3)}
 
 
+def bench_ablate(n_views=13, res=256):
+    """Backward-stage cost attribution at suzanne-class (the render budget
+    tracked round-over-round): each line is the fwd+bwd time with one
+    backward stage zeroed; the delta vs 'none' is that stage's in-pipe
+    cost."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from largesteps_tpu.io.synth import make_scene
+    from largesteps_tpu.render.renderer import Renderer, Topology
+    from largesteps_tpu.render.camera import project
+    from largesteps_tpu.render import pallas_core as pc
+    from largesteps_tpu.render.sh import sh_eval
+    from largesteps_tpu.ops.normals import (compute_face_normals,
+                                            compute_vertex_normals)
+
+    scene = make_scene(source=("icosphere", 4), target=("gourd", 4),
+                       n_views=n_views, res=res)
+    renderer = Renderer(scene, shading=True, boost=3)
+    v = jnp.asarray(scene["mesh-source"]["vertices"])
+    f = scene["mesh-source"]["faces"]
+    topo = Topology(f)
+    renderer.check_overflow(v, topo)
+    fn = compute_face_normals(v, f)
+    n = compute_vertex_normals(v, f, fn)
+    attrs = sh_eval(renderer.sh_M, n) / np.pi
+    v_ndc = project(v, renderer.mvps)
+    iters = 20
+    out = []
+    for ablate in ("", "aabwd", "rbwd", "scatter"):
+        pipe = pc.make_render_pipeline(topo.faces, topo.opp, renderer.res,
+                                       shading=True, boost=3.0,
+                                       cap=renderer.bin_cap, ablate=ablate)
+
+        @jax.jit
+        def fb(vc):
+            def body(i, v_):
+                g = jax.grad(lambda x: pipe(x, attrs, renderer.bgs).mean())(v_)
+                return v_ + 1e-12 * g
+            return jax.lax.fori_loop(0, iters, body, vc)
+
+        fetch(fb(v_ndc))
+        t0 = time.perf_counter()
+        fetch(fb(v_ndc))
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        out.append({"metric": f"render_fwdbwd_ms_ablate_{ablate or 'none'}",
+                    "value": round(ms, 3), "unit": "ms", "vs_baseline": None})
+    return out
+
+
+def bench_step_nefertiti(steps=4):
+    """End-to-end driver throughput at the north-star scale: 163,842 verts
+    (327,680 faces), 13 views, 256², default Cholesky (banded) solver,
+    host-binned render path."""
+    import numpy as np
+    from largesteps_tpu.io.synth import make_scene
+    from largesteps_tpu.driver import optimize_shape
+
+    scene = make_scene(source=("icosphere", 7), target=("gourd", 4),
+                       n_views=13, res=256)
+    # warm compile on 1 step, then measure a fresh run's steady-state
+    res = optimize_shape(scene, {"steps": steps, "step_size": 0.05,
+                                 "lambda": 19.0, "boost": 3,
+                                 "solver": "Cholesky", "rebin_every": 0})
+    t = res["wall_time"]
+    its = res["iters"] / t
+    return {"metric": "opt_iters_per_s_163842v", "value": round(its, 3),
+            "unit": "iter/s", "vs_baseline": None}
+
+
 def main():
     import jax
     try:
@@ -194,6 +264,15 @@ def main():
         print(json.dumps(line), flush=True)
     for line in bench_raster():
         print(json.dumps(line), flush=True)
+    for line in bench_ablate():
+        print(json.dumps(line), flush=True)
+    try:
+        print(json.dumps(bench_step_nefertiti()), flush=True)
+    except Exception as e:   # must never cost the headline metric
+        print(json.dumps({"metric": "opt_iters_per_s_163842v",
+                          "value": None, "unit": "iter/s",
+                          "vs_baseline": None,
+                          "error": str(e)[:200]}), flush=True)
     print(json.dumps(bench_step()), flush=True)
 
 

@@ -8,7 +8,7 @@ scalar fetch — the only reliable completion barrier on the axon client):
   aafwd   — aa_fwd_pallas
   rbwd    — raster_bwd_pallas
   aabwd   — aa_bwd_pallas
-  scatter — _chain_to_clip + _scatter_to_vertices
+  scatter — _chain_planes + _scatter_to_vertices
   pipe    — full pipe fwd, and full fwd+bwd via jax.grad
 """
 import argparse
@@ -139,10 +139,12 @@ def main():
         lambda: pc.raster_bwd_pallas(rbb, counts, slot, d_col, dz, dz,
                                      res, cap))())
 
+    inc = pc.build_incidence(np.asarray(fj), v.shape[0])
+
     def scatter_body(x):
-        dclip = pc._chain_to_clip(dslot + x * 0, rbb)
-        dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
-        dv, da = pc._scatter_to_vertices(dclip, dA, bins, fj, v.shape[0])
+        t21 = pc._chain_planes(dslot + x * 0, None, 0.0, rbb)
+        dv, da = pc._scatter_via_faces(t21, bins, inc, int(fj.shape[0]),
+                                       v.shape[0])
         return x + 1e-20 * dv.mean()
     chain_time(scatter_body, dslot, it, "scatter")
 

@@ -64,6 +64,13 @@ def default_params():
         "record_verts": False, # per-iter vertex history (heavy; ref always on)
         "sharding": None,      # None | {"dp": n, "sp": m} — SPMD device mesh
         "raster_chunk": 128,
+        # large-F binning: above this face count the pallas pipeline uses
+        # HOST-computed triangle bins (margin-expanded bboxes), recomputed
+        # every rebin_every steps — the traced per-step binning is
+        # O(T·F log F) and measured 22 s/step at 327k faces on chip
+        "host_bin_faces": 32768,
+        "rebin_every": 16,     # steps between host re-binning passes
+        "rebin_margin": 4.0,   # bbox expansion (px) that keeps stale bins valid
         "checkpoint_every": 0, # iterations between checkpoints (0 = off)
         "checkpoint_path": None,
         "resume": None,        # path of a checkpoint to resume from
@@ -92,6 +99,33 @@ class EpochState:
     L: Any = None
     u: Any = None
     step_fn: Callable = None
+    use_host_bins: bool = False
+    bins: Any = None           # ((C,T,cap) int32, (C,T) int32) device arrays
+    bin_cap: int = 0
+
+
+def _host_bins(renderer, v, topology, margin, cap=None):
+    """Host-side triangle binning for the current geometry (large-F path).
+    Returns ((bins, counts) device arrays, occupancy, cap)."""
+    from ..render.pallas_core import bin_triangles_host, suggest_cap
+    from ..render.camera import project
+    v_ndc = np.asarray(project(jnp.asarray(v), renderer.mvps))
+    bins, counts, occ = bin_triangles_host(
+        v_ndc, topology.faces, renderer.res, cap=cap, margin=margin)
+    return (jnp.asarray(bins), jnp.asarray(counts)), occ, bins.shape[-1]
+
+
+def _rebin(st: EpochState, p, renderer, v_render):
+    """Recompute host bins mid-epoch; grows the cap (recompile) only on
+    overflow — this is also the mid-epoch occupancy re-check."""
+    bins, occ, cap = _host_bins(renderer, v_render, st.topology,
+                                p["rebin_margin"], cap=st.bin_cap)
+    if occ > st.bin_cap:           # overflow: resize and re-bin (rare)
+        bins, occ, cap = _host_bins(renderer, v_render, st.topology,
+                                    p["rebin_margin"], cap=None)
+        st.bin_cap = cap
+    st.bins = bins
+    return st
 
 
 def _build_epoch(v_src, f_src, p, renderer):
@@ -101,9 +135,15 @@ def _build_epoch(v_src, f_src, p, renderer):
         f_src=np.asarray(f_src, np.int32), topology=Topology(f_src),
     )
     st.L = laplacian_uniform(len(v_unique), f_unique)
-    # size the raster bins for this epoch's geometry before the first traced
-    # render: overflow would under-draw tiles silently (ADVICE r2)
-    renderer.check_overflow(v_src, st.topology)
+    st.use_host_bins = (renderer.backend == "pallas"
+                        and st.topology.n_faces >= int(p["host_bin_faces"]))
+    if st.use_host_bins:
+        st.bins, occ, st.bin_cap = _host_bins(
+            renderer, v_src, st.topology, p["rebin_margin"])
+    else:
+        # size the raster bins for this epoch's geometry before the first
+        # traced render: overflow would under-draw tiles silently (ADVICE r2)
+        renderer.check_overflow(v_src, st.topology)
     if p["smooth"]:
         st.M = compute_matrix(v_unique, f_unique, lambda_=p["lambda"], alpha=p["alpha"])
         st.u = to_differential(st.M, jnp.asarray(v_unique))
@@ -125,7 +165,7 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
     loss_kind = p["loss"]
     bilap = p["bilaplacian"]
 
-    def forward(theta, guess_fwd, guess_bwd, solver):
+    def forward(theta, guess_fwd, guess_bwd, solver, bins):
         if smooth:
             v_unique = diff_solve(solver, theta["u"], guess_fwd, guess_bwd)
         else:
@@ -135,7 +175,7 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
         n_unique = compute_vertex_normals(v_unique, f_unique, fn)
         n_opt = n_unique[dup]
         tr = theta["tr"] if use_tr else jnp.zeros((1, 3), v_opt.dtype)
-        imgs = renderer.render(tr + v_opt, n_opt, st.topology)
+        imgs = renderer.render(tr + v_opt, n_opt, st.topology, bins=bins)
         diff = imgs - ref_imgs
         im_loss = jnp.abs(diff).mean() if loss_kind == "l1" else jnp.square(diff).mean()
         Lv = coo_matvec(L, v_unique)
@@ -149,13 +189,13 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
         return loss, (im_loss, bilap_mag, v_unique)
 
     @jax.jit
-    def jit_step(theta, opt_state, guess_fwd, guess_bwd, solver):
-        # the solver rides in as an ARGUMENT so its factor tables stay
-        # device buffers — closed over, they would be baked into the
+    def jit_step(theta, opt_state, guess_fwd, guess_bwd, solver, bins):
+        # the solver and bins ride in as ARGUMENTS so their device tables
+        # stay device buffers — closed over, they would be baked into the
         # compiled program (fatal at 163k verts on the axon client)
         (loss, (im_loss, bilap_mag, v_unique)), grads = jax.value_and_grad(
             forward, has_aux=True
-        )(theta, guess_fwd, guess_bwd, solver)
+        )(theta, guess_fwd, guess_bwd, solver, bins)
         if not use_tr:
             grads["tr"] = jnp.zeros_like(theta["tr"])
         updates, opt_state = tx.update(grads, opt_state, theta)
@@ -165,7 +205,8 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
         return theta, opt_state, (im_loss, bilap_mag), new_guess_fwd, new_guess_bwd
 
     def step(theta, opt_state, guess_fwd, guess_bwd):
-        return jit_step(theta, opt_state, guess_fwd, guess_bwd, solver)
+        return jit_step(theta, opt_state, guess_fwd, guess_bwd, solver,
+                        st.bins)
 
     return step
 
@@ -223,7 +264,13 @@ def optimize_shape(scene, params=None):
         sp = int(sh.get("sp", 1))
         mesh = make_mesh(int(sh.get("dp", 1)) * sp, sp=sp)
         renderer = shard_renderer(renderer, mesh, shard_rows=sp > 1)
-    ref_imgs = renderer.render(v_ref, n_ref, Topology(f_ref))
+    ref_topo = Topology(f_ref)
+    if renderer.backend == "pallas" \
+            and ref_topo.n_faces >= int(p["host_bin_faces"]):
+        ref_bins, _, _ = _host_bins(renderer, v_ref, ref_topo, 0.0)
+        ref_imgs = renderer.render(v_ref, n_ref, ref_topo, bins=ref_bins)
+    else:
+        ref_imgs = renderer.render(v_ref, n_ref, ref_topo)
     ref_imgs = jax.lax.stop_gradient(ref_imgs)
     if p["sharding"] and renderer.backend != "pallas":
         from ..parallel.sharding import camera_sharding
@@ -263,8 +310,10 @@ def optimize_shape(scene, params=None):
     start_it = 0
     if resume_data is not None:
         start_it = int(resume_data["meta"]["step"])
+        # checkpoints are written BEFORE the remesh branch of the same
+        # iteration, so a remesh scheduled exactly at start_it must replay
         remesh_schedule = [r for r in resume_data["meta"]["remesh_schedule"]
-                           if r > start_it]
+                           if r >= start_it]
         remesh_it = remesh_schedule.pop(0) if remesh_schedule else -1
 
     result = {
@@ -318,6 +367,14 @@ def optimize_shape(scene, params=None):
             else:
                 remesh_it = -1
 
+        if st.use_host_bins and p["rebin_every"] and it > start_it \
+                and (it - start_it) % int(p["rebin_every"]) == 0:
+            # refresh the margin-expanded host bins for the moved geometry;
+            # doubles as the mid-epoch occupancy/overflow re-check
+            tr_np = np.asarray(theta["tr"]) if p["use_tr"] else 0.0
+            v_render = np.asarray(guess_fwd)[st.duplicate_idx] + tr_np
+            st = _rebin(st, p, renderer, v_render)
+
         theta, opt_state, losses, guess_fwd, guess_bwd = step(
             theta, opt_state, guess_fwd, guess_bwd
         )
@@ -331,6 +388,17 @@ def optimize_shape(scene, params=None):
 
         it += 1
         t = time.perf_counter()
+
+    if p["checkpoint_every"] and p["checkpoint_path"]:
+        # final checkpoint so a finished run (or a steps-budget slice of a
+        # longer schedule) can be resumed exactly from its end state
+        from .checkpoint import save_checkpoint
+        full_schedule = ([remesh_it] if remesh_it > 0 else []) + remesh_schedule
+        save_checkpoint(
+            p["checkpoint_path"], theta=theta, opt_state=opt_state,
+            v_src=v_src, f_src=f_src, step=it, step_size=step_size,
+            remesh_schedule=full_schedule,
+        )
 
     result["losses"] = np.array(
         [(float(a), float(b)) for a, b in loss_log], dtype=np.float64

@@ -106,9 +106,19 @@ def triangle_setup(v_clip, faces, attrs, opp, height, width):
     Returns (rec_fwd (F, 32), rec_bwd (F, 32)).  Pure elementwise XLA —
     one gather of the 3 vertex rows per triangle.
     """
-    tri = v_clip[faces]                      # (F, 3, 4)
+    F = faces.shape[0]
+    fid = jnp.arange(1, F + 1, dtype=jnp.float32)
+    opp1 = (jnp.asarray(opp) + 1).astype(jnp.float32)   # 0 = boundary
+    return _setup_core(v_clip[faces], attrs[faces], opp1, fid, height, width)
+
+
+def _setup_core(tri, A, opp1, fid, height, width):
+    """Record assembly from pre-gathered corners: tri (N, 3, 4) clip-space
+    corner positions, A (N, 3, 3) corner attrs, opp1 (N, 3) 1-based
+    adjacent-face ids (0 = boundary), fid (N,) 1-based face id (0 = dead
+    slot — rigged to an empty y-range and zero coverage)."""
     w = tri[..., 3]
-    valid = jnp.all(w > 1e-9, axis=1)
+    valid = jnp.all(w > 1e-9, axis=1) & (fid > 0.0)
     safe_w = jnp.where(w == 0, 1.0, w)
     iw = jnp.where(valid[:, None], 1.0 / safe_w, 0.0)
     # direct division (not x * (1/w)): rounds identically to the antialias
@@ -154,10 +164,7 @@ def triangle_setup(v_clip, faces, attrs, opp, height, width):
     ymin = jnp.where(valid, ymin, 1e9)
     ymax = jnp.where(valid, ymax, -1e9)
 
-    F = faces.shape[0]
-    fid = jnp.arange(1, F + 1, dtype=jnp.float32)
-    A = attrs[faces]                          # (F, 3, 3) vertex attrs
-    P = A[:, 0] - A[:, 2]                     # (F, 3)
+    P = A[:, 0] - A[:, 2]                     # (N, 3)
     Q = A[:, 1] - A[:, 2]
     R = A[:, 2]
     pad = jnp.zeros_like(fid)
@@ -170,7 +177,6 @@ def triangle_setup(v_clip, faces, attrs, opp, height, width):
         pad, pad, pad, pad, pad, pad, pad,
     ], axis=1)
 
-    opp1 = (jnp.asarray(opp) + 1).astype(jnp.float32)   # 0 = boundary
     rec_bwd = jnp.stack([
         b0a, b0b, b0c, b1a, b1b, b1c,
         iw[:, 0], iw[:, 1], iw[:, 2],
@@ -225,6 +231,131 @@ def bin_triangles(rec_fwd, v_clip, faces, height, width, cap):
     k = jax.lax.broadcasted_iota(jnp.int32, bins.shape, 2)
     bins = jnp.where(k < jnp.minimum(counts, cap)[..., None], bins, -1)
     return bins.reshape(ty * tx, cap), counts.reshape(ty * tx)
+
+
+def setup_from_bins(v_clip, faces, attrs, opp, bins, height, width):
+    """Per-triangle setup + binned-record gather for one camera.
+
+    The large-F path: build (F, 32) records in face-major order (the same
+    elementwise setup as the traced path) and gather whole 32-f32 record
+    ROWS by the precomputed bins.  Per-corner gathers were tried first and
+    OOM HBM: a (T·cap, 3, 4) gather output tile-pads its trailing (3, 4)
+    dims to (8, 128) — a 42× memory blowup at 327k faces.
+
+    v_clip (V, 4); bins (T, cap) int32 with -1 = dead slot.  Returns
+    (rfb (T, cap, 32), rbb (T, cap, 32)).
+    """
+    T, cap = bins.shape
+    rec_fwd, rec_bwd = triangle_setup(v_clip, faces, attrs, opp,
+                                      height, width)
+    safe = jnp.maximum(bins, 0)
+    live = (bins >= 0)[..., None]
+    rfb = jnp.where(live, rec_fwd[safe], 0.0)
+    rbb = jnp.where(live, rec_bwd[safe], 0.0)
+    # padded slots: empty y-range so they can't poison the forward
+    # kernel's chunk-level band-bbox test (a zeroed row reads as y=0)
+    dead = bins < 0
+    rfb = rfb.at[..., 12].set(jnp.where(dead, 1e9, rfb[..., 12]))
+    rfb = rfb.at[..., 13].set(jnp.where(dead, -1e9, rfb[..., 13]))
+    return rfb, rbb
+
+
+def bin_triangles_host(v_ndc, faces, resolution, cap=None, margin=0.0,
+                       chunk=8):
+    """Host (numpy) binning for ALL cameras — the large-F regime.
+
+    The traced overlap-matrix binning costs O(T·F) memory and T argsorts of
+    F keys per camera per step; TPU sorts run at ~10 M keys/s, so at 327k
+    faces one binning pass measured 22 s on chip.  On host the same
+    computation is a vectorized numpy pass (~0.2 s), and because the bins
+    only depend on 2-D bboxes, a ``margin``-pixel expansion keeps them
+    VALID for every step in which no vertex moves more than margin/2
+    pixels — the driver re-bins every few steps and passes the bins into
+    the jitted step as ordinary device arguments.
+
+    v_ndc: (C, V, 4) array (device or host).  Returns
+    (bins (C, T, cap) int32 with -1 padding, counts (C, T) int32, occ).
+    If ``cap`` is None it is sized from the measured occupancy
+    (suggest_cap, which already adds 25% headroom).
+    """
+    height, width = resolution
+    ty_n, tx_n = height // TILE_H, width // TILE_W
+    T = ty_n * tx_n
+    v_ndc = np.asarray(v_ndc)
+    faces = np.asarray(faces)
+    C = v_ndc.shape[0]
+
+    # planar per-corner gathers (a (C, F, 3, 4) fancy index measured 20+ s
+    # at 327k faces × 13 cameras; this form is ~20×-cheaper)
+    vx = np.ascontiguousarray(v_ndc[..., 0])
+    vy = np.ascontiguousarray(v_ndc[..., 1])
+    vw = np.ascontiguousarray(v_ndc[..., 3])
+    sx, sy, valid = [], [], True
+    for c in range(3):
+        idx = faces[:, c]
+        w = vw[:, idx]                           # (C, F)
+        valid = valid & (w > 1e-9)
+        w[w == 0] = 1.0
+        sx.append(vx[:, idx] / w)
+        sy.append(vy[:, idx] / w)
+    area = (sx[1] - sx[0]) * (sy[2] - sy[0]) \
+        - (sy[1] - sy[0]) * (sx[2] - sx[0])
+    valid &= np.abs(area) >= 1e-12
+    exp = 1.0 + margin                           # 1px AA expansion + margin
+    xmin = (np.minimum(np.minimum(sx[0], sx[1]), sx[2]) + 1.0) \
+        * (width / 2.0) - 0.5 - exp
+    xmax = (np.maximum(np.maximum(sx[0], sx[1]), sx[2]) + 1.0) \
+        * (width / 2.0) - 0.5 + exp
+    ymin = (np.minimum(np.minimum(sy[0], sy[1]), sy[2]) + 1.0) \
+        * (height / 2.0) - 0.5 - exp
+    ymax = (np.maximum(np.maximum(sy[0], sy[1]), sy[2]) + 1.0) \
+        * (height / 2.0) - 0.5 + exp
+
+    # tile index ranges (inclusive); mirror of the traced overlap test
+    # (xmax >= tile_x0 and xmin <= tile_x0 + TILE_W - 1)
+    valid &= (xmax >= 0) & (ymax >= 0) \
+        & (xmin <= width - 1) & (ymin <= height - 1)
+    jlo = np.clip(np.floor(xmin).astype(np.int64) // TILE_W, 0, tx_n - 1)
+    jhi = np.clip(np.floor(xmax).astype(np.int64) // TILE_W, 0, tx_n - 1)
+    ilo = np.clip(np.floor(ymin).astype(np.int64) // TILE_H, 0, ty_n - 1)
+    ihi = np.clip(np.floor(ymax).astype(np.int64) // TILE_H, 0, ty_n - 1)
+
+    span_y = int(np.max((ihi - ilo + 1) * valid, initial=1))
+    span_x = int(np.max((jhi - jlo + 1) * valid, initial=1))
+
+    tile_ids, face_ids, cam_ids = [], [], []
+    F = faces.shape[0]
+    fidx = np.broadcast_to(np.arange(F, dtype=np.int64), (C, F))
+    cidx = np.broadcast_to(np.arange(C, dtype=np.int64)[:, None], (C, F))
+    for dy in range(span_y):
+        for dx in range(span_x):
+            ti = ilo + dy
+            tj = jlo + dx
+            m = valid & (ti <= ihi) & (tj <= jhi)
+            t = ti[m] * tx_n + tj[m]
+            tile_ids.append(t)
+            face_ids.append(fidx[m])
+            cam_ids.append(cidx[m])
+    tile_id = np.concatenate(tile_ids)
+    face_id = np.concatenate(face_ids)
+    cam_id = np.concatenate(cam_ids)
+    key = cam_id * T + tile_id
+    counts = np.bincount(key, minlength=C * T).reshape(C, T)
+    occ = int(counts.max(initial=0))
+    if cap is None:
+        cap = suggest_cap(occ, chunk)
+
+    order = np.argsort(key, kind="stable")       # stable: ascending face id
+    key_s = key[order]
+    face_s = face_id[order]
+    starts = np.zeros(C * T + 1, np.int64)
+    np.cumsum(counts.reshape(-1), out=starts[1:])
+    pos = np.arange(len(key_s)) - starts[key_s]
+    keep = pos < cap
+    bins = np.full((C * T, cap), -1, np.int32)
+    bins[key_s[keep], pos[keep]] = face_s[keep]
+    counts = np.minimum(counts, cap).astype(np.int32)
+    return (bins.reshape(C, T, cap), counts.reshape(C, T), occ)
 
 
 def suggest_cap(max_count: int, chunk: int = 8) -> int:
@@ -354,6 +485,141 @@ def _onehot_gather_bykey(recT_ref, key_col, key_plane, cap, count, facc):
                     preferred_element_type=jnp.float32)
 
 
+# --- fori-loop variants for LARGE caps ------------------------------------
+# The helpers above unroll cap/128 chunk bodies in Python — at suzanne-class
+# caps (≤1024, ≤8 chunks) that is the fastest Mosaic code, but at the
+# ≥100k-vertex tier (cap 10k-40k, 100-300 chunks) the unrolled program
+# explodes compile time.  These variants run the identical math under
+# ``lax.fori_loop``, slicing each 128-slot chunk straight from the block
+# ref (so the full (32, cap) record never materializes in registers).
+
+_UNROLL_CAP = 1024
+
+
+def _onehot_gather_ref(recT_ref, pre, slot_plane, count, facc):
+    """fori one-hot gather; recT_ref block (*pre, 32, cap)."""
+    facc[...] = jnp.zeros(facc.shape, jnp.float32)
+
+    def body(c, carry):
+        h = c * _OH
+        rec = recT_ref[pre[0], pre[1], pre[2], :, pl.ds(h, _OH)]   # (32, 128)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (_OH, _P), 0) + h
+        ohb = (iota == slot_plane).astype(jnp.bfloat16)
+        for t in _split3(rec):
+            facc[...] += jax.lax.dot_general(
+                t, ohb, ((((1,), (0,))), ((), ())),
+                preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, (count + _OH - 1) // _OH, body, 0)
+
+
+def _onehot_reduce_out(out_ref, key_plane, G, count):
+    """fori one-hot reduce onto slot-position keys (iota), writing 128-row
+    result chunks straight into the (1, 1, 1, cap, 32) output block (no
+    (cap, 128) scratch — it would blow the scoped-VMEM budget at large
+    caps).  Zero-initializes the whole block first (the tail rows past
+    ``count`` must not carry stale garbage)."""
+    cap, ncols = out_ref.shape[-2], out_ref.shape[-1]
+    out_ref[0, 0, 0] = jnp.zeros((cap, ncols), jnp.float32)
+    q = G.shape[0]
+    if q < 128:
+        G = jnp.concatenate(
+            [G, jnp.zeros((128 - q, G.shape[1]), jnp.float32)], axis=0)
+    terms = _split3(G)
+    slot_iota_plane = key_plane.astype(jnp.int32)
+
+    def body(c, carry):
+        h = c * _OH
+        iota = jax.lax.broadcasted_iota(jnp.int32, (_OH, _P), 0) + h
+        ohb = ((iota - slot_iota_plane) == 0).astype(jnp.bfloat16)
+        acc = None
+        for t in terms:
+            d = jax.lax.dot_general(ohb, t, ((((1,), (1,))), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        out_ref[0, 0, 0, pl.ds(h, _OH), :] = acc[:, :ncols]
+        return carry
+
+    jax.lax.fori_loop(0, (count + _OH - 1) // _OH, body, 0)
+
+
+def _key_col(key_rows):
+    """(8, 128) f32 record rows → (128, 1) column of ROW 0's values, via a
+    3-pass bf16 identity matmul (the MXU replacement for a lane→sublane
+    relayout, which Mosaic lowers poorly; rank-1 operands trip a Mosaic
+    verifier bug, hence the 8-row operand).  Exact for integer-valued keys
+    < 2²⁴: the bf16 split captures 8 mantissa bits per term and the f32
+    accumulator re-sums them losslessly."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (_OH, _OH), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (_OH, _OH), 1)
+    eye = (i == j).astype(jnp.bfloat16)
+    acc = None
+    for t in _split3(key_rows):
+        d = jax.lax.dot_general(eye, t, ((((1,), (1,))), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    return acc[:, 0:1]                           # (128, 1)
+
+
+def _onehot_gather_bykey_ref(recT_ref, pre, key_plane, count, facc,
+                             key_row=6):
+    """fori bykey gather from a transposed record block (*pre, R, cap);
+    per-slot keys come from record ROW ``key_row`` of the same block
+    (slim layout: row 6 = fid), turned into a column by :func:`_key_col` —
+    so the kernel needs no (cap, 32)-layout operand at all (27 MB of VMEM
+    per buffer at 163k-vertex caps)."""
+    facc[...] = jnp.zeros(facc.shape, jnp.float32)
+
+    def body(c, carry):
+        h = c * _OH
+        rec = recT_ref[pre[0], pre[1], pre[2], :, pl.ds(h, _OH)]
+        key_col = _key_col(rec[key_row:key_row + 8, :])            # (128, 1)
+        ohb = (key_col == key_plane).astype(jnp.bfloat16)
+        for t in _split3(rec):
+            facc[...] += jax.lax.dot_general(
+                t, ohb, ((((1,), (0,))), ((), ())),
+                preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, (count + _OH - 1) // _OH, body, 0)
+
+
+def _onehot_reduce_bykey_add(out_ref, recT_ref, pre, key_plane, G, count,
+                             key_row=6, init: bool = False):
+    """fori one-hot reduce keyed by per-slot key VALUES (face ids, read
+    from ROW ``key_row`` of the transposed record block via
+    :func:`_key_col`), ACCUMULATED into the (1, 1, 1, cap, ncols) output
+    block — lets the two AA pair directions share one output without
+    (cap, 128) scratches.  Pass ``init=True`` on the first direction to
+    zero the block."""
+    cap, ncols = out_ref.shape[-2], out_ref.shape[-1]
+    if init:
+        out_ref[0, 0, 0] = jnp.zeros((cap, ncols), jnp.float32)
+    q = G.shape[0]
+    if q < 128:
+        G = jnp.concatenate(
+            [G, jnp.zeros((128 - q, G.shape[1]), jnp.float32)], axis=0)
+    terms = _split3(G)
+
+    def body(c, carry):
+        h = c * _OH
+        key_col = _key_col(
+            recT_ref[pre[0], pre[1], pre[2], key_row:key_row + 8,
+                     pl.ds(h, _OH)])
+        ohb = ((key_col - key_plane) == 0.0).astype(jnp.bfloat16)
+        acc = None
+        for t in terms:
+            d = jax.lax.dot_general(ohb, t, ((((1,), (1,))), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        out_ref[0, 0, 0, pl.ds(h, _OH), :] = (
+            out_ref[0, 0, 0, pl.ds(h, _OH), :] + acc[:, :ncols])
+        return carry
+
+    jax.lax.fori_loop(0, (count + _OH - 1) // _OH, body, 0)
+
+
 def _fwd_kernel(counts_ref, rec_ref, recT_ref, u_ref, v_ref, z_ref, fid_ref,
                 slot_ref, c0_ref, c1_ref, c2_ref, zb, fb, sb, facc,
                 *, cap, chunk, height, width):
@@ -418,8 +684,12 @@ def _fwd_kernel(counts_ref, rec_ref, recT_ref, u_ref, v_ref, z_ref, fid_ref,
 
     # ---- finalize: gather the winner's record, interpolate densely -------
     slot_plane = sb[...]
-    _onehot_gather(recT_ref[0, 0, 0], slot_plane.astype(jnp.int32), cap,
-                   count, facc)
+    if cap > _UNROLL_CAP:
+        _onehot_gather_ref(recT_ref, (0, 0, 0), slot_plane.astype(jnp.int32),
+                           count, facc)
+    else:
+        _onehot_gather(recT_ref[0, 0, 0], slot_plane.astype(jnp.int32), cap,
+                       count, facc)
     f = facc[...]                                            # (32, P)
     q0 = f[0:1] * px + f[1:2] * py + f[2:3]
     q1 = f[3:4] * px + f[4:5] * py + f[5:6]
@@ -441,6 +711,21 @@ def _fwd_kernel(counts_ref, rec_ref, recT_ref, u_ref, v_ref, z_ref, fid_ref,
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _ccall_kwargs(cap):
+    """Extra pallas_call kwargs per capacity: large-cap kernels hold two
+    ~(cap, 32) f32 blocks in VMEM, which exceeds Mosaic's default scoped
+    budget (16 MB) — raise the per-kernel limit (v5e has 128 MB VMEM)."""
+    if cap <= _UNROLL_CAP:
+        return {}
+    # NOTE: the vmem_limit override is dropped when the call sits inside a
+    # lax.map/while body on the axon AOT path (and has_side_effects=True,
+    # which preserves it, crashes XLA's fusion pass at scale:
+    # "Check failed: fused_root->IsFusible()") — so the large-F pipeline
+    # unrolls its camera loop in Python instead of lax.map.
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024)}
 
 
 @partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "interpret"))
@@ -480,6 +765,7 @@ def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
     )
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        **_ccall_kwargs(cap),
     )(counts_b, rec_fwd_b, recT)
     return outs
 
@@ -492,7 +778,7 @@ def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
 # backward semantics, SURVEY N1).  Derivation lives in the per-pixel math in
 # phase B below; per-slot sums come out of phase C's MXU one-hot matmuls.
 # Chaining screen-space (dsx, dsy, diw) to clip coordinates happens in XLA
-# (see _chain_to_clip).
+# (see _chain_planes).
 
 _NQ = 18   # dsx0,dsy0,dsx1,dsy1,dsx2,dsy2, diw0..2, dA00,dA01,dA02,... dA22
 
@@ -509,8 +795,12 @@ def _bwd_kernel(counts_ref, recT_ref, slot_ref, dc0_ref, dc1_ref, dc2_ref,
     slot_plane = slot_ref[0].reshape(1, _P)
 
     # ---- phase A: per-pixel owner fields via one-hot MXU gather ----------
-    _onehot_gather(recT_ref[0, 0, 0], slot_plane.astype(jnp.int32), cap,
-                   count, facc)
+    if cap > _UNROLL_CAP:
+        _onehot_gather_ref(recT_ref, (0, 0, 0), slot_plane.astype(jnp.int32),
+                           count, facc)
+    else:
+        _onehot_gather(recT_ref[0, 0, 0], slot_plane.astype(jnp.int32), cap,
+                       count, facc)
     f = facc[...]                                              # (32, P)
 
     # ---- phase B: dense per-pixel gradient math (lane layout) ------------
@@ -555,10 +845,15 @@ def _bwd_kernel(counts_ref, recT_ref, slot_ref, dc0_ref, dc1_ref, dc2_ref,
          dA00, dA01, dA02, dA10, dA11, dA12, dA20, dA21, dA22), axis=0)
 
     # ---- phase C: per-pixel -> per-slot reduction on the MXU -------------
-    key_col = jax.lax.broadcasted_iota(
-        jnp.int32, (cap, 1), 0).astype(jnp.float32)
-    _onehot_reduce(Sacc, key_col, slot_plane, G, cap, count)
-    out_ref[0, 0, 0] = Sacc[...][:, :32]
+    if cap > _UNROLL_CAP:
+        # large caps: write 128-slot result chunks straight into the output
+        # block — a (cap, 128) scratch would blow the scoped-VMEM budget
+        _onehot_reduce_out(out_ref, slot_plane, G, count)
+    else:
+        key_col = jax.lax.broadcasted_iota(
+            jnp.int32, (cap, 1), 0).astype(jnp.float32)
+        _onehot_reduce(Sacc, key_col, slot_plane, G, cap, count)
+        out_ref[0, 0, 0] = Sacc[...][:, :32]
 
 
 @partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "interpret"))
@@ -594,13 +889,16 @@ def raster_bwd_pallas(rec_bwd_b, counts_b, slot, d_col, d_u, d_v,
         out_specs=pl.BlockSpec((1, 1, 1, cap, 32),
                                lambda c, i, j, counts: (c, i, j, 0, 0),
                                memory_space=pltpu.VMEM),
+        # large caps reduce straight into the out block; the (cap, 128)
+        # scratch would blow the scoped-VMEM budget
         scratch_shapes=[pltpu.VMEM((32, _P), jnp.float32),
-                        pltpu.VMEM((cap, 128), jnp.float32)],
+                        pltpu.VMEM((min(cap, _UNROLL_CAP), 128),
+                                   jnp.float32)],
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, ty, tx, cap, 32), jnp.float32),
-        interpret=interpret,
+        interpret=interpret, **_ccall_kwargs(cap),
     )(counts_b, recT, slot,
       d_col[..., 0], d_col[..., 1], d_col[..., 2], d_u, d_v)
 
@@ -633,25 +931,35 @@ def _setup_and_bin(v_clip, faces, attrs, opp, height, width, cap):
     return jax.vmap(per_cam)(v_clip)
 
 
-def _chain_to_clip(dslot, rec_bwd_b):
-    """Chain per-slot screen-space sums to clip-space vertex gradients.
+def _chain_planes(dslot, dslot_aa, boost, rbb):
+    """Planar chain-to-clip: per-slot screen-space sums -> a corner-major
+    (..., cap, 21) gradient table [per corner: dx dy dz dw dA0 dA1 dA2].
 
-    dslot (C, TY, TX, cap, 32) from the backward kernels (first 9 columns
-    dsx0 dsy0 dsx1 dsy1 dsx2 dsy2 diw0 diw1 diw2).  Returns
-    dclip (C, TY, TX, cap, 3, 4) — per-slot per-vertex (dx, dy, dz=0, dw).
-    sx = x/w ⇒ ∂sx/∂x = iw, ∂sx/∂w = −sx·iw; iw = 1/w ⇒ ∂iw/∂w = −iw².
+    Replaces the stacked chain-to-clip + boost combine + dclip/dA concat, but every intermediate is a (..., cap) PLANE: the stacked
+    (..., cap, 3, 4) form tile-pads its trailing dims to (8, 128) — a 42×
+    HBM blowup that OOMs at 100k+-face caps.
+
+    dslot (..., cap, 32) raster sums; dslot_aa (..., cap, 8) antialias
+    endpoint sums (cols 0..5) or None; rbb (..., cap, 32) bwd records.
     """
-    iw = rec_bwd_b[..., 6:9]                              # (..., 3)
-    sx = rec_bwd_b[..., 9:15:2]
-    sy = rec_bwd_b[..., 10:15:2]
-    dsx = dslot[..., 0:6:2]
-    dsy = dslot[..., 1:6:2]
-    diw = dslot[..., 6:9]
-    dx = dsx * iw
-    dy = dsy * iw
-    dw = -iw * iw * diw - iw * (dsx * sx + dsy * sy)
-    dz = jnp.zeros_like(dx)
-    return jnp.stack([dx, dy, dz, dw], axis=-1)           # (..., 3, 4)
+    iw = [rbb[..., 6 + k] for k in range(3)]
+    sx = [rbb[..., 9 + 2 * k] for k in range(3)]
+    sy = [rbb[..., 10 + 2 * k] for k in range(3)]
+    planes = []
+    zero = jnp.zeros_like(iw[0])
+    for k in range(3):
+        dsx = dslot[..., 2 * k]
+        dsy = dslot[..., 2 * k + 1]
+        if dslot_aa is not None:
+            dsx = dsx + boost * dslot_aa[..., 2 * k]
+            dsy = dsy + boost * dslot_aa[..., 2 * k + 1]
+        diw = dslot[..., 6 + k]
+        # sx = x/w => dx = dsx*iw, dw = -iw^2*diw - iw*(dsx*sx + dsy*sy)
+        planes += [dsx * iw[k], dsy * iw[k], zero,
+                   -iw[k] * iw[k] * diw - iw[k] * (dsx * sx[k] + dsy * sy[k]),
+                   dslot[..., 9 + 3 * k], dslot[..., 10 + 3 * k],
+                   dslot[..., 11 + 3 * k]]
+    return jnp.stack(planes, axis=-1)            # (..., cap, 21)
 
 
 def build_incidence(faces, n_verts):
@@ -676,7 +984,7 @@ def build_incidence(faces, n_verts):
     return idx, valid
 
 
-def _scatter_via_faces(dclip, dA, bins, incidence, n_faces, n_verts):
+def _scatter_via_faces(table21, bins, incidence, n_faces, n_verts):
     """Slot grads -> vertex grads through a per-face table.
 
     TPU rationale: one segment_sum over the (C·tiles·cap) slot entries
@@ -685,13 +993,13 @@ def _scatter_via_faces(dclip, dA, bins, incidence, n_faces, n_verts):
     original triple-width dynamic scatter, whose XLA lowering dominated the
     backward (measured ~9 ms of a 43 ms step at 13×256²).
 
-    dclip (C,TY,TX,cap,3,4); dA (C,TY,TX,cap,3,3); bins (C,TY,TX,cap).
+    table21 (C,TY,TX,cap,21) corner-major gradient table from
+    :func:`_chain_planes`; bins (C,TY,TX,cap).
     Returns (dv_clip (C, V, 4), d_attrs (V, 3))."""
     idx, mask = incidence
-    C = dclip.shape[0]
+    C = table21.shape[0]
     F = n_faces
-    table = jnp.concatenate([dclip, dA], axis=-1)         # (...,3,7)
-    table = table.reshape(C, -1, 21)
+    table = table21.reshape(C, -1, 21)
     ids = jnp.where(bins >= 0, bins, F).reshape(C, -1)
     dface = jax.vmap(
         lambda t, i: jax.ops.segment_sum(t, i, num_segments=F + 1)
@@ -778,9 +1086,8 @@ def make_render_core(faces, opp, resolution, cap=768, chunk=8):
         dslot = raster_bwd_pallas(rbb, counts, slot, d_color,
                                   d_rast[..., 0], d_rast[..., 1],
                                   resolution, cap, chunk)
-        dclip = _chain_to_clip(dslot, rbb)
-        dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
-        dv_clip, d_attrs = _scatter_via_faces(dclip, dA, bins, _inc(n_verts),
+        table21 = _chain_planes(dslot, None, 0.0, rbb)
+        dv_clip, d_attrs = _scatter_via_faces(table21, bins, _inc(n_verts),
                                               fj.shape[0], n_verts)
         return dv_clip, d_attrs
 
@@ -909,13 +1216,17 @@ def _aa_fwd_kernel(counts_ref, rec_ref, recT_ref,
                                      zr_ref[0].reshape(1, _P))
     own_v, oth_v, dif_v = _aa_common(fid, z, fidd_ref[0].reshape(1, _P),
                                      zd_ref[0].reshape(1, _P))
-    fid_col = rec_ref[0, 0, 0][:, 22:23]                       # (cap, 1)
+    if cap <= _UNROLL_CAP:
+        fid_col = rec_ref[0, 0, 0][:, 22:23]                   # (cap, 1)
 
     results = []
     for own, oth, d_ex, d_ey in ((own_h, oth_h, dxw, 0.0),
                                  (own_v, oth_v, 0.0, dyh)):
-        _onehot_gather_bykey(recT_ref[0, 0, 0], fid_col, own, cap, count,
-                             facc)
+        if cap > _UNROLL_CAP:
+            _onehot_gather_bykey_ref(recT_ref, (0, 0, 0), own, count, facc)
+        else:
+            _onehot_gather_bykey(recT_ref[0, 0, 0], fid_col, own, cap, count,
+                                 facc)
         t, found, _, _ = _aa_pair_t(_aa_fields(facc[...]),
                                     pax, pay, d_ex, d_ey, oth)
         results.append((t, found))
@@ -975,6 +1286,16 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
         interpret = _interpret()
     C, ty, tx = counts_b.shape
     recT = _aa_slim_recT(rec_bwd_b)
+    # large caps: the kernel keys gathers off slim row 6 (fid), so the
+    # (cap, 32) record block — 27 MB of VMEM per buffer at 163k-vert caps —
+    # is replaced by an 8x128 dummy
+    big = cap > _UNROLL_CAP
+    rec_in = jnp.zeros((C, 1, 1, 8, 128), jnp.float32) if big else rec_bwd_b
+    rec_spec = pl.BlockSpec(
+        (1, 1, 1, 8, 128), lambda c, i, j, counts: (c, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM) if big else pl.BlockSpec(
+        (1, 1, 1, cap, 32), lambda c, i, j, counts: (c, i, j, 0, 0),
+        memory_space=pltpu.VMEM)
     fid_r, z_r = _shift_left(fid), _shift_left(z)
     fid_d, z_d = _shift_up(fid), _shift_up(z)
     col_r = _shift_left(color)
@@ -987,9 +1308,7 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(C, ty, tx),
-        in_specs=[pl.BlockSpec((1, 1, 1, cap, 32),
-                               lambda c, i, j, counts: (c, i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[rec_spec,
                   pl.BlockSpec((1, 1, 1, 16, cap),
                                lambda c, i, j, counts: (c, i, j, 0, 0),
                                memory_space=pltpu.VMEM)]
@@ -1001,8 +1320,8 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * n_out,
-        interpret=interpret,
-    )(counts_b, rec_bwd_b, recT, fid, z, fid_r, z_r, fid_d, z_d,
+        interpret=interpret, **_ccall_kwargs(cap),
+    )(counts_b, rec_in, recT, fid, z, fid_r, z_r, fid_d, z_d,
       *chans(color), *chans(col_r), *chans(col_d))
     out = jnp.stack(outs[:D], axis=-1)
     db_h = jnp.stack(outs[D:2 * D], axis=-1)
@@ -1042,7 +1361,8 @@ def _aa_bwd_kernel(counts_ref, rec_ref, recT_ref,
                                      zr_ref[0].reshape(1, _P))
     own_v, oth_v, dif_v = _aa_common(fid, z, fidd_ref[0].reshape(1, _P),
                                      zd_ref[0].reshape(1, _P))
-    fid_col = rec_ref[0, 0, 0][:, 22:23]                       # (cap, 1)
+    if cap <= _UNROLL_CAP:
+        fid_col = rec_ref[0, 0, 0][:, 22:23]                   # (cap, 1)
 
     dcol_acc = [jnp.zeros((1, _P), jnp.float32) for _ in range(D)]
 
@@ -1051,8 +1371,11 @@ def _aa_bwd_kernel(counts_ref, rec_ref, recT_ref,
             (oth_h, dif_h, own_h, dxw, 0.0, colr_refs, doutr_refs, dbh_refs),
             (oth_v, dif_v, own_v, 0.0, dyh, cold_refs, doutd_refs,
              dbv_refs))):
-        _onehot_gather_bykey(recT_ref[0, 0, 0], fid_col, own, cap, count,
-                             facc)
+        if cap > _UNROLL_CAP:
+            _onehot_gather_bykey_ref(recT_ref, (0, 0, 0), own, count, facc)
+        else:
+            _onehot_gather_bykey(recT_ref[0, 0, 0], fid_col, own, cap, count,
+                                 facc)
         fvals = _aa_fields(facc[...])
         t, found, takes, geos = _aa_pair_t(fvals, pax, pay, d_ex, d_ey, oth)
         act = dif & (own > 0.0) & found
@@ -1094,13 +1417,18 @@ def _aa_bwd_kernel(counts_ref, rec_ref, recT_ref,
         # per-slot endpoint sums, keyed by this direction's owner face id
         G = jnp.concatenate(
             (dsx[0], dsy[0], dsx[1], dsy[1], dsx[2], dsy[2]), axis=0)
-        _onehot_reduce(S0 if direction == 0 else S1, fid_col, own, G,
-                       cap, count)
+        if cap > _UNROLL_CAP:
+            _onehot_reduce_bykey_add(dslot_ref, recT_ref, (0, 0, 0), own, G,
+                                     count, init=(direction == 0))
+        else:
+            _onehot_reduce(S0 if direction == 0 else S1, fid_col, own, G,
+                           cap, count)
 
     for c in range(D):
         dcol_refs[c][0] = dcol_acc[c].reshape(shape2d)
-    # single output write — no read-modify-write across direction passes
-    dslot_ref[0, 0, 0] = (S0[...] + S1[...])[:, :8]
+    if cap <= _UNROLL_CAP:
+        # single output write — no read-modify-write across direction passes
+        dslot_ref[0, 0, 0] = (S0[...] + S1[...])[:, :8]
 
 
 @partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "D", "interpret"))
@@ -1115,6 +1443,13 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
         interpret = _interpret()
     C, ty, tx = counts_b.shape
     recT = _aa_slim_recT(rec_bwd_b)
+    big = cap > _UNROLL_CAP
+    rec_in = jnp.zeros((C, 1, 1, 8, 128), jnp.float32) if big else rec_bwd_b
+    rec_spec = pl.BlockSpec(
+        (1, 1, 1, 8, 128), lambda c, i, j, counts: (c, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM) if big else pl.BlockSpec(
+        (1, 1, 1, cap, 32), lambda c, i, j, counts: (c, i, j, 0, 0),
+        memory_space=pltpu.VMEM)
     fid_r, z_r = _shift_left(fid), _shift_left(z)
     fid_d, z_d = _shift_up(fid), _shift_up(z)
     col_r = _shift_left(color)
@@ -1128,9 +1463,7 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(C, ty, tx),
-        in_specs=[pl.BlockSpec((1, 1, 1, cap, 32),
-                               lambda c, i, j, counts: (c, i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[rec_spec,
                   pl.BlockSpec((1, 1, 1, 16, cap),
                                lambda c, i, j, counts: (c, i, j, 0, 0),
                                memory_space=pltpu.VMEM)]
@@ -1140,16 +1473,16 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
                         lambda c, i, j, counts: (c, i, j, 0, 0),
                         memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((16, _P), jnp.float32),
-                        pltpu.VMEM((cap, 128), jnp.float32),
-                        pltpu.VMEM((cap, 128), jnp.float32)],
+                        pltpu.VMEM((min(cap, _UNROLL_CAP), 128), jnp.float32),
+                        pltpu.VMEM((min(cap, _UNROLL_CAP), 128), jnp.float32)],
     )
     chans = lambda a: [a[..., c] for c in range(D)]
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * (3 * D)
         + [jax.ShapeDtypeStruct((C, ty, tx, cap, 8), jnp.float32)],
-        interpret=interpret,
-    )(counts_b, rec_bwd_b, recT, fid, z, fid_r, z_r, fid_d, z_d,
+        interpret=interpret, **_ccall_kwargs(cap),
+    )(counts_b, rec_in, recT, fid, z, fid_r, z_r, fid_d, z_d,
       *chans(color), *chans(col_r), *chans(col_d),
       *chans(d_out), *chans(dout_r), *chans(dout_d))
     dcol = jnp.stack(outs[:D], axis=-1) + d_out
@@ -1169,8 +1502,24 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
 # slot map are computed once and shared between the forward and backward
 # kernels.
 
+def _setup_prebinned(v_clip, faces, attrs, opp, bins, counts, height, width):
+    """Binned-layout record build from precomputed (host) bins.
+
+    bins (C, T, cap) int32 (-1 padding), counts (C, T).  Returns the same
+    (rfb, rbb, bins, counts) 4-tuple as _setup_and_bin."""
+    ty, tx = height // TILE_H, width // TILE_W
+    C = v_clip.shape[0]
+    cap = bins.shape[-1]
+    rfb, rbb = jax.vmap(
+        lambda vc, b: setup_from_bins(vc, faces, attrs, opp, b, height, width)
+    )(v_clip, bins)
+    return (rfb.reshape(C, ty, tx, cap, 32), rbb.reshape(C, ty, tx, cap, 32),
+            bins.reshape(C, ty, tx, cap),
+            counts.reshape(C, ty, tx).astype(jnp.int32))
+
+
 def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
-                         cap=768, ablate=""):
+                         cap=768, ablate="", prebinned=False):
     """Build the full fused render op for one topology epoch.
 
     Mirrors NVDRenderer.render (scripts/render.py:204-220): rasterize ->
@@ -1180,6 +1529,12 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
     (C,H,W,4)`` shaded images (or ``(C,H,W,3)`` with shading=False; pass
     bg=None).  One custom_vjp wraps the chain so bins, rec tables and the
     slot map are shared between forward and backward kernels.
+
+    With ``prebinned=True`` the op signature becomes
+    ``pipe(v_clip, attrs, bg, bins (C,T,cap) int32, counts (C,T))`` and the
+    (expensive at large F) traced binning is skipped: the driver computes
+    bins on host every few steps with a bbox margin
+    (:func:`bin_triangles_host`) and threads them in as device arguments.
     """
     height, width = resolution
     # numpy (not jnp) closures: trace-safe — see make_render_core
@@ -1193,14 +1548,7 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
             inc_cache[n_verts] = build_incidence(fj, n_verts)
         return inc_cache[n_verts]
 
-    @jax.custom_vjp
-    def pipe(v_clip, attrs, bg):
-        out, _ = pipe_fwd(v_clip, attrs, bg)
-        return out
-
-    def pipe_fwd(v_clip, attrs, bg):
-        rfb, rbb, bins, counts = _setup_and_bin(v_clip, fj, attrs, oj,
-                                                height, width, cap)
+    def fwd_common(v_clip, attrs, bg, rfb, rbb, bins, counts):
         u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
             rfb, counts, resolution, cap)
         color = jnp.stack([c0, c1, c2], axis=-1)
@@ -1215,12 +1563,35 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
                None if bg is None else bg.shape)
         return out, res
 
+    if prebinned:
+        @jax.custom_vjp
+        def pipe(v_clip, attrs, bg, bins, counts):
+            out, _ = pipe_fwd(v_clip, attrs, bg, bins, counts)
+            return out
+
+        def pipe_fwd(v_clip, attrs, bg, bins, counts):
+            rfb, rbb, bins4, counts3 = _setup_prebinned(
+                v_clip, fj, attrs, oj, bins, counts, height, width)
+            out, res = fwd_common(v_clip, attrs, bg, rfb, rbb, bins4, counts3)
+            return out, res + (bins.shape, counts.shape)
+    else:
+        @jax.custom_vjp
+        def pipe(v_clip, attrs, bg):
+            out, _ = pipe_fwd(v_clip, attrs, bg)
+            return out
+
+        def pipe_fwd(v_clip, attrs, bg):
+            rfb, rbb, bins, counts = _setup_and_bin(v_clip, fj, attrs, oj,
+                                                    height, width, cap)
+            return fwd_common(v_clip, attrs, bg, rfb, rbb, bins, counts)
+
     def pipe_bwd(res, g):
         # ``ablate`` is an explicit constructor argument used only by
         # benchmarks/ablate_pipe.py to zero one backward stage at a time;
         # the production path always builds with ablate="" (no env knobs —
         # a leaked variable must not silently corrupt gradients)
-        rbb, bins, counts, slot, fid, z, comp, cov, n_verts, bg_shape = res
+        (rbb, bins, counts, slot, fid, z, comp, cov, n_verts,
+         bg_shape) = res[:10]
         if "aabwd" in ablate:
             d_comp, dslot_aa = g, jnp.zeros(
                 (*counts.shape, cap, 8), jnp.float32)
@@ -1238,16 +1609,15 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
                                       jnp.zeros_like(fid),
                                       jnp.zeros_like(fid),
                                       resolution, cap)
-        # combine raster + (boosted) antialias screen-space sums, then chain
-        dslot = dslot.at[..., 0:6].add(boost * dslot_aa[..., 0:6])
-        dclip = _chain_to_clip(dslot, rbb)
-        dA = dslot[..., 9:18].reshape(*dslot.shape[:-1], 3, 3)
+        # combine raster + (boosted) antialias screen-space sums and chain
+        # to clip space in one planar pass
+        table21 = _chain_planes(dslot, dslot_aa, boost, rbb)
         if "scatter" in ablate:
             dv_clip = jnp.zeros((counts.shape[0], n_verts, 4), jnp.float32) \
-                + dclip.sum() * 0
+                + table21.sum() * 0
             d_attrs = jnp.zeros((n_verts, 3), jnp.float32)
         else:
-            dv_clip, d_attrs = _scatter_via_faces(dclip, dA, bins,
+            dv_clip, d_attrs = _scatter_via_faces(table21, bins,
                                                   _inc(n_verts),
                                                   fj.shape[0], n_verts)
         # bg cotangent: comp = where(cov, col4, bg), so d_bg is d_comp over
@@ -1261,7 +1631,132 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
             extra = d_bg.ndim - len(bg_shape)
             if extra:
                 d_bg = d_bg.sum(axis=tuple(range(extra)))
+        if prebinned:
+            bins_shape, counts_shape = res[10], res[11]
+            return (dv_clip, d_attrs, d_bg,
+                    np.zeros(bins_shape, jax.dtypes.float0),
+                    np.zeros(counts_shape, jax.dtypes.float0))
         return dv_clip, d_attrs, d_bg
+
+    pipe.defvjp(pipe_fwd, pipe_bwd)
+    return pipe
+
+
+# ---------------------------------------------------------------------------
+# Large-F pipeline: camera-sequential, host-binned, memory-bounded
+# ---------------------------------------------------------------------------
+# At nefertiti scale (≥100k vertices, 327k faces, 13×256²) the batched
+# pipeline's working set — two (C, T, cap≈40k, 32) record tables plus the
+# backward's gradient table — exceeds HBM once TPU tile padding (trailing
+# 32 → 128 lanes) is accounted for.  This variant holds only ONE camera's
+# tables at a time via ``lax.map`` (XLA reuses the body's buffers across
+# iterations), recomputes the backward records instead of saving them as
+# residuals, and runs the planar chain+scatter per camera.  Kernel-level
+# code is IDENTICAL to the batched path (grid C=1).
+
+def make_render_pipeline_big(faces, opp, resolution, shading=True,
+                             boost=1.0, cap=8192):
+    """Camera-sequential prebinned render op for the ≥100k-face regime.
+
+    Same contract as ``make_render_pipeline(..., prebinned=True)``:
+    ``pipe(v_clip (C,V,4), attrs (V,3), bg, bins (C,T,cap), counts (C,T))``.
+    """
+    height, width = resolution
+    ty, tx = height // TILE_H, width // TILE_W
+    fj = np.ascontiguousarray(np.asarray(faces), dtype=np.int32)
+    oj = np.ascontiguousarray(np.asarray(opp), dtype=np.int32)
+    D = 4 if shading else 3
+    inc_cache = {}
+
+    def _inc(n_verts):
+        if n_verts not in inc_cache:
+            inc_cache[n_verts] = build_incidence(fj, n_verts)
+        return inc_cache[n_verts]
+
+    def cam_fwd(vc1, bg1, bins1, counts1, attrs):
+        rfb, rbb = setup_from_bins(vc1, fj, attrs, oj, bins1, height, width)
+        rfb = rfb.reshape(1, ty, tx, cap, 32)
+        rbb = rbb.reshape(1, ty, tx, cap, 32)
+        c3 = counts1.reshape(1, ty, tx).astype(jnp.int32)
+        u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
+            rfb, c3, resolution, cap)
+        color = jnp.stack([c0, c1, c2], axis=-1)
+        cov = (fid > 0.0)[..., None]
+        if shading:
+            col4 = jnp.concatenate([color, cov.astype(color.dtype)], axis=-1)
+            comp = jnp.where(cov, col4, bg1[None])
+        else:
+            comp = color
+        out = aa_fwd_pallas(rbb, c3, fid, z, comp, resolution, cap, D=D)
+        return out[0], slot[0], fid[0], z[0], comp[0], cov[0]
+
+    @jax.custom_vjp
+    def pipe(v_clip, attrs, bg, bins, counts):
+        out, _ = pipe_fwd(v_clip, attrs, bg, bins, counts)
+        return out
+
+    def pipe_fwd(v_clip, attrs, bg, bins, counts):
+        bg_in = bg if shading else jnp.zeros(
+            (v_clip.shape[0], height, width, D), jnp.float32)
+        # python-unrolled camera loop, NOT lax.map: a while body silently
+        # drops the kernels' vmem-limit attribute on the axon AOT path
+        # (see _ccall_kwargs); XLA's liveness analysis still reuses the
+        # per-camera table buffers across the straight-line chains
+        per_cam = [cam_fwd(v_clip[i], bg_in[i], bins[i], counts[i], attrs)
+                   for i in range(v_clip.shape[0])]
+        out, slot, fid, z, comp, cov = (
+            jnp.stack([p[k] for p in per_cam]) for k in range(6))
+        res = (v_clip, attrs, bins, counts, slot, fid, z, comp, cov,
+               None if bg is None else bg.shape)
+        return out, res
+
+    def pipe_bwd(res, g):
+        (v_clip, attrs, bins, counts, slot, fid, z, comp, cov,
+         bg_shape) = res
+        n_verts = v_clip.shape[1]
+
+        def cam_bwd(t):
+            vc1, bins1, counts1, slot1, fid1, z1, comp1, cov1, g1 = t
+            _, rbb = setup_from_bins(vc1, fj, attrs, oj, bins1,
+                                     height, width)
+            rbb = rbb.reshape(1, ty, tx, cap, 32)
+            c3 = counts1.reshape(1, ty, tx).astype(jnp.int32)
+            d_comp, dslot_aa = aa_bwd_pallas(
+                rbb, c3, fid1[None], z1[None], comp1[None], g1[None],
+                resolution, cap, D=D)
+            if shading:
+                d_color = jnp.where(cov1[None], d_comp[..., :3], 0.0)
+            else:
+                d_color = d_comp
+            dslot = raster_bwd_pallas(rbb, c3, slot1[None], d_color,
+                                      jnp.zeros_like(fid1)[None],
+                                      jnp.zeros_like(fid1)[None],
+                                      resolution, cap)
+            table21 = _chain_planes(dslot, dslot_aa, boost, rbb)
+            dv1, da1 = _scatter_via_faces(
+                table21, bins1.reshape(1, ty, tx, cap), _inc(n_verts),
+                fj.shape[0], n_verts)
+            if shading:
+                d_bg1 = jnp.where(cov1, 0.0, d_comp[0])
+            else:
+                d_bg1 = jnp.zeros_like(comp1)
+            return dv1[0], da1, d_bg1
+
+        per_cam = [cam_bwd((v_clip[i], bins[i], counts[i], slot[i],
+                            fid[i], z[i], comp[i], cov[i], g[i]))
+                   for i in range(v_clip.shape[0])]
+        dv, da, dbg = (jnp.stack([p[k] for p in per_cam]) for k in range(3))
+        d_attrs = da.sum(axis=0)
+        if bg_shape is None:
+            d_bg = None
+        else:
+            d_bg = dbg
+            extra = d_bg.ndim - len(bg_shape)
+            if extra:
+                d_bg = d_bg.sum(axis=tuple(range(extra)))
+        return (dv, d_attrs, d_bg,
+                np.zeros(bins.shape, jax.dtypes.float0),
+                np.zeros(counts.shape, jax.dtypes.float0))
 
     pipe.defvjp(pipe_fwd, pipe_bwd)
     return pipe

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .pallas_core import (
     TILE_H, TILE_W, _setup_and_bin, raster_fwd_pallas, raster_bwd_pallas,
-    _chain_to_clip, _scatter_to_vertices, check_bin_overflow, suggest_cap,
+    _chain_planes, _scatter_to_vertices, check_bin_overflow, suggest_cap,
 )
 
 __all__ = ["rasterize_pallas", "rasterize_pallas_fwd", "bin_triangles",
@@ -74,7 +74,10 @@ def rasterize_pallas(v_clip, faces, resolution, cap=768, chunk=8):
         dslot = raster_bwd_pallas(rbb, counts, slot, zero_col,
                                   g[..., 0], g[..., 1], resolution, cap,
                                   chunk)
-        dclip = _chain_to_clip(dslot, rbb)
+        t21 = _chain_planes(dslot, None, 0.0, rbb)
+        dclip = jnp.stack(
+            [jnp.stack([t21[..., 7 * k + c] for c in range(4)], axis=-1)
+             for k in range(3)], axis=-2)                  # (..., cap, 3, 4)
         dA = jnp.zeros((*dslot.shape[:-1], 3, 3))
         dv_clip, _ = _scatter_to_vertices(dclip, dA, bins, fj, n_verts)
         return (dv_clip,)

@@ -157,44 +157,65 @@ class Renderer:
                 f"bin_cap={fit})")
         return occ
 
-    def render(self, v, n, topology: Topology):
+    def render(self, v, n, topology: Topology, bins=None):
         """Render all viewpoints: v (V, 3), n (V, 3) → (C, H, W, 4|3).
 
         Differentiable w.r.t. v (through barycentrics, lighting and
         antialias) and n (through SH shading).  Reference: render.py:186-221.
+
+        ``bins`` — optional ((C, T, cap) int32, (C, T) int32) precomputed
+        triangle bins (host-binned large-F path, pallas backend only); the
+        driver recomputes them every few steps with a bbox margin instead
+        of paying the traced per-step binning at 100k+ faces.
         """
         v_ndc = project(v, self.mvps)                   # (C, V, 4)
         if self.backend == "pallas":
             # fused Pallas pipeline: rasterize+interpolate+antialias kernels
-            key = (self.res, self.shading, self.boost, self.bin_cap)
+            prebinned = bins is not None
+            cap = int(bins[0].shape[-1]) if prebinned else self.bin_cap
+            key = (self.res, self.shading, self.boost, cap, prebinned)
             pipe = topology._pipe_cache.get(key)
             if pipe is None:
-                from .pallas_core import make_render_pipeline
-                pipe = make_render_pipeline(
-                    topology.faces, topology.opp, self.res,
-                    shading=self.shading, boost=self.boost, cap=self.bin_cap)
+                from .pallas_core import (make_render_pipeline,
+                                          make_render_pipeline_big,
+                                          _UNROLL_CAP)
+                if prebinned and cap > _UNROLL_CAP:
+                    # ≥100k-face regime: camera-sequential, memory-bounded
+                    pipe = make_render_pipeline_big(
+                        topology.faces, topology.opp, self.res,
+                        shading=self.shading, boost=self.boost, cap=cap)
+                else:
+                    pipe = make_render_pipeline(
+                        topology.faces, topology.opp, self.res,
+                        shading=self.shading, boost=self.boost, cap=cap,
+                        prebinned=prebinned)
                 topology._pipe_cache[key] = pipe
             if self.shading:
                 attrs = sh_eval(self.sh_M, n) / np.pi   # (V, 3)
                 args = (v_ndc, attrs, self.bgs)
             else:
                 args = (v_ndc, jnp.ones_like(v), None)
+            extra = (jnp.asarray(bins[0]), jnp.asarray(bins[1])) \
+                if prebinned else ()
             if self.mesh is None:
-                return pipe(*args)
+                return pipe(*args, *extra)
             # SPMD: each device runs the fused kernels on its camera shard;
             # the custom_vjp's replicated-operand cotangents (attrs, and
             # v through the MVP transpose) are psum'd by shard_map's AD
             from jax.sharding import PartitionSpec as P
             cam = P(self.cam_axes)
+            extra_specs = (cam, cam) if prebinned else ()
             if args[2] is None:
-                local = lambda vc, at: pipe(vc, at, None)
+                local = lambda vc, at, *eb: pipe(vc, at, None, *eb)
                 return jax.shard_map(local, mesh=self.mesh,
-                                     in_specs=(cam, P()), out_specs=cam,
-                                     check_vma=False)(args[0], args[1])
-            local = lambda vc, at, bg: pipe(vc, at, bg)
+                                     in_specs=(cam, P()) + extra_specs,
+                                     out_specs=cam,
+                                     check_vma=False)(args[0], args[1], *extra)
+            local = lambda vc, at, bg, *eb: pipe(vc, at, bg, *eb)
             return jax.shard_map(local, mesh=self.mesh,
-                                 in_specs=(cam, P(), cam), out_specs=cam,
-                                 check_vma=False)(*args)
+                                 in_specs=(cam, P(), cam) + extra_specs,
+                                 out_specs=cam,
+                                 check_vma=False)(*args, *extra)
         faces = jnp.asarray(topology.faces)
         rast = rasterize(v_ndc, faces, self.res, self.chunk)
         if self.shading:

@@ -116,3 +116,29 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(out["theta"]["u"], theta["u"])
     chex_leaves = jnp.asarray(out["opt_state"].count)
     assert int(chex_leaves) == int(state.count)
+
+
+def test_resume_matches_unbroken_run(tmp_path):
+    """End-to-end resume equivalence (round-4 verdict item, carried since
+    round 1): N steps + checkpoint + resume N more — including a remesh
+    event scheduled exactly at the checkpoint step — must reproduce the
+    unbroken 2N-step run's loss trajectory and final vertices."""
+    scene = small_scene()
+    base = {"steps": 6, "step_size": 0.05, "lambda": 19.0, "boost": 3,
+            "solver": "Cholesky", "remesh": [3]}
+    full = optimize_shape(scene, dict(base))
+
+    ck = os.path.join(tmp_path, "ck.npz")
+    first = optimize_shape(scene, {**base, "steps": 3,
+                                   "checkpoint_every": 1,
+                                   "checkpoint_path": ck})
+    assert os.path.exists(ck)
+    second = optimize_shape(scene, {**base, "resume": ck})
+
+    np.testing.assert_allclose(first["losses"][:, 0], full["losses"][:3, 0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(second["losses"][:, 0], full["losses"][3:, 0],
+                               rtol=1e-4, atol=1e-7)
+    assert second["f_final"].shape == full["f_final"].shape  # remesh replayed
+    np.testing.assert_allclose(second["v_final"], full["v_final"],
+                               rtol=1e-4, atol=1e-6)

@@ -110,9 +110,10 @@ def test_antialias_matches_dense_oracle(geo):
     assert float(jnp.max(jnp.abs(dcol_p - go_c))) < 1e-5
     dslot32 = jnp.concatenate(
         [dslot_aa[..., :6], jnp.zeros((*dslot_aa.shape[:-1], 26))], axis=-1)
-    dclip = pc._chain_to_clip(dslot32, rbb)
-    dA = jnp.zeros((*dslot32.shape[:-1], 3, 3))
-    dv_p, _ = pc._scatter_to_vertices(dclip, dA, bins, fj, v_ndc.shape[1])
+    table21 = pc._chain_planes(dslot32, None, 0.0, rbb)
+    inc = pc.build_incidence(np.asarray(f), v_ndc.shape[1])
+    dv_p, _ = pc._scatter_via_faces(table21, bins, inc, int(fj.shape[0]),
+                                    v_ndc.shape[1])
     sv = float(jnp.max(jnp.abs(go_v)))
     assert float(jnp.max(jnp.abs(dv_p - go_v))) < 1e-4 * sv
 
