@@ -10,6 +10,10 @@ optimizers) mirrors the cited reference config.
 """
 import os
 import csv
+import sys
+
+# make the repo root importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -19,7 +19,12 @@ METHODS = {
 
 if __name__ == "__main__":
     quick = "--quick" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     for name, params in METHODS.items():
+        if only and name != only:
+            continue
         if quick:
             params = dict(params, steps=min(params["steps"], 50))
         run(name, SCENE, params, "teaser")
