@@ -67,29 +67,42 @@ def shard_renderer(renderer, mesh: Mesh, shard_rows: bool = True):
       * ``xla`` backend: pure-GSPMD — mvps (C,4,4) → P('dp'), bgs
         (C,H,W,4) → P('dp','sp') with image rows on 'sp'; the antialias
         shifts become neighbor collective-permutes automatically.
-      * ``pallas`` backend: the fused kernels run under ``shard_map`` with
-        the CAMERA axis sharded over BOTH mesh axes (P(('dp','sp'))).
-        Image rows are NOT 'sp'-sharded here: the kernel grid owns the
-        (TILE_H=32)-row decomposition inside each camera, and camera
-        parallelism is loss-free while row-sharding would split tiles
-        across the AA halo.  'sp' still buys real parallelism — it just
-        shards viewpoints, not rows.
+      * ``pallas`` backend with ``shard_rows`` and row-divisible tiles:
+        cameras on 'dp', image TILE ROWS on 'sp' — the fused kernels run
+        under ``shard_map`` on each device's (TY/sp)-row slice and the
+        antialias pass ppermutes one-row halos across 'sp'
+        (pallas_core._shift_up_halo).
+      * ``pallas`` fallback (too few tile rows to split): the CAMERA axis
+        shards over BOTH mesh axes (P(('dp','sp'))) — loss-free but capped
+        at n_cameras devices.
     """
+    from .. render.pallas_core import TILE_H
+
     n_cam = renderer.mvps.shape[0]
     pallas = renderer.backend == "pallas"
-    need = mesh.shape["dp"] * mesh.shape["sp"] if pallas else mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    ty_full = renderer.res[0] // TILE_H
+    row_shard = (pallas and shard_rows and sp > 1 and ty_full % sp == 0
+                 and ty_full >= sp)
+    if pallas and not row_shard:
+        need = mesh.shape["dp"] * sp
+        cam_axes = ("dp", "sp")
+    else:
+        need = mesh.shape["dp"]
+        cam_axes = "dp"
     if n_cam % need != 0:
         raise ValueError(f"cameras ({n_cam}) must divide {need}")
-    cam_axes = ("dp", "sp") if pallas else "dp"
     renderer.mvps = jax.device_put(
         renderer.mvps, NamedSharding(mesh, P(cam_axes, None, None)))
-    if pallas:
+    if pallas and not row_shard:
         bg_spec = P(cam_axes, None, None, None)
     else:
-        bg_spec = P("dp", "sp" if shard_rows else None, None, None)
+        bg_spec = P("dp", "sp" if (shard_rows and sp > 1) else None,
+                    None, None)
     renderer.bgs = jax.device_put(renderer.bgs, NamedSharding(mesh, bg_spec))
     renderer.mesh = mesh
     renderer.cam_axes = cam_axes
+    renderer.row_shards = sp if row_shard else 1
     return renderer
 
 

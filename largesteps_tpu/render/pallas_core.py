@@ -190,15 +190,23 @@ def _setup_core(tri, A, opp1, fid, height, width):
     return rec_fwd, rec_bwd
 
 
-def bin_triangles(rec_fwd, v_clip, faces, height, width, cap):
+def bin_triangles(rec_fwd, v_clip, faces, height, width, cap,
+                  ty_range=None):
     """Fixed-capacity per-tile triangle bins for one camera.
 
     Overlap test uses the 1px-expanded bbox so the antialias kernels can
     find pair owners that sit just across a tile border.  Returns
     (bins (T, cap) int32 with -1 padding, counts (T,)) where
     T = (height//TILE_H) * (width//TILE_W).
+
+    ``ty_range`` — optional (row0_tiles, ty_local): bin only the
+    ``ty_local`` tile rows starting at traced tile-row ``row0_tiles``
+    (the 'sp' image-row sharding path; each device bins its own rows).
     """
     ty, tx = height // TILE_H, width // TILE_W
+    row0_tiles = 0
+    if ty_range is not None:
+        row0_tiles, ty = ty_range
     tri = v_clip[faces]
     w = tri[..., 3]
     safe_w = jnp.where(w == 0, 1.0, w)
@@ -211,7 +219,8 @@ def bin_triangles(rec_fwd, v_clip, faces, height, width, cap):
     ymax = rec_fwd[:, 13]
     valid = ymax > ymin                      # invalid rigged to empty range
 
-    ty0 = jnp.arange(ty, dtype=jnp.float32)[:, None, None] * TILE_H
+    ty0 = (jnp.arange(ty, dtype=jnp.float32)[:, None, None]
+           + jnp.asarray(row0_tiles, jnp.float32)) * TILE_H
     tx0 = jnp.arange(tx, dtype=jnp.float32)[None, :, None] * TILE_W
     overlap = (
         (ymax[None, None, :] >= ty0) & (ymin[None, None, :] <= ty0 + TILE_H - 1)
@@ -620,15 +629,16 @@ def _onehot_reduce_bykey_add(out_ref, recT_ref, pre, key_plane, G, count,
     jax.lax.fori_loop(0, (count + _OH - 1) // _OH, body, 0)
 
 
-def _fwd_kernel(counts_ref, rec_ref, recT_ref, u_ref, v_ref, z_ref, fid_ref,
+def _fwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref, u_ref, v_ref, z_ref, fid_ref,
                 slot_ref, c0_ref, c1_ref, c2_ref, zb, fb, sb, facc,
                 *, cap, chunk, height, width):
     ci = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
-    px, py = _pixel_lanes(ti, tj, height, width)
-    tile_y0 = (ti * TILE_H).astype(jnp.float32)
+    tig = ti + row0_ref[0]          # global tile row (sp row-sharding)
+    px, py = _pixel_lanes(tig, tj, height, width)
+    tile_y0 = (tig * TILE_H).astype(jnp.float32)
 
     zb[...] = jnp.full((1, _P), _BIG, jnp.float32)
     fb[...] = jnp.full((1, _P), _BIG, jnp.float32)
@@ -730,7 +740,7 @@ def _ccall_kwargs(cap):
 
 @partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "interpret"))
 def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
-                      interpret=None):
+                      interpret=None, row0=None):
     """Forward rasterize+interpolate from pre-binned records.
 
     rec_fwd_b (C, TY, TX, cap, 32), counts_b (C, TY, TX) int32.
@@ -739,25 +749,29 @@ def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
     height, width = resolution
     if interpret is None:
         interpret = _interpret()
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
     C, ty, tx = counts_b.shape
     recT = jnp.swapaxes(rec_fwd_b, -1, -2)        # (C, TY, TX, 32, cap)
     kernel = partial(_fwd_kernel, cap=cap, chunk=chunk,
                      height=height, width=width)
-    out_shape = [jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * 8
+    # outputs span the LOCAL tile rows (= full image unless row-sharded)
+    out_shape = [jax.ShapeDtypeStruct((C, ty * TILE_H, width),
+                                      jnp.float32)] * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(C, ty, tx),
         in_specs=[
             pl.BlockSpec((1, 1, 1, cap, 32),
-                         lambda c, i, j, counts: (c, i, j, 0, 0),
+                         lambda c, i, j, counts, row0: (c, i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, 32, cap),
-                         lambda c, i, j, counts: (c, i, j, 0, 0),
+                         lambda c, i, j, counts, row0: (c, i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda c, i, j, counts: (c, i, j),
+                         lambda c, i, j, counts, row0: (c, i, j),
                          memory_space=pltpu.VMEM)
         ] * 8,
         scratch_shapes=[pltpu.VMEM((1, _P), jnp.float32)] * 3
@@ -766,7 +780,7 @@ def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
         **_ccall_kwargs(cap),
-    )(counts_b, rec_fwd_b, recT)
+    )(counts_b, row0, rec_fwd_b, recT)
     return outs
 
 
@@ -783,14 +797,14 @@ def raster_fwd_pallas(rec_fwd_b, counts_b, resolution, cap, chunk=8,
 _NQ = 18   # dsx0,dsy0,dsx1,dsy1,dsx2,dsy2, diw0..2, dA00,dA01,dA02,... dA22
 
 
-def _bwd_kernel(counts_ref, recT_ref, slot_ref, dc0_ref, dc1_ref, dc2_ref,
+def _bwd_kernel(counts_ref, row0_ref, recT_ref, slot_ref, dc0_ref, dc1_ref, dc2_ref,
                 du_ref, dv_ref, out_ref, facc, Sacc,
                 *, cap, chunk, height, width):
     ci = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
-    px, py = _pixel_lanes(ti, tj, height, width)
+    px, py = _pixel_lanes(ti + row0_ref[0], tj, height, width)
 
     slot_plane = slot_ref[0].reshape(1, _P)
 
@@ -858,7 +872,7 @@ def _bwd_kernel(counts_ref, recT_ref, slot_ref, dc0_ref, dc1_ref, dc2_ref,
 
 @partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "interpret"))
 def raster_bwd_pallas(rec_bwd_b, counts_b, slot, d_col, d_u, d_v,
-                      resolution, cap, chunk=8, interpret=None):
+                      resolution, cap, chunk=8, interpret=None, row0=None):
     """Backward: per-(camera, tile, slot) gradient sums.
 
     rec_bwd_b (C, TY, TX, cap, 32); slot (C, H, W) f32 (-1 = background);
@@ -870,24 +884,26 @@ def raster_bwd_pallas(rec_bwd_b, counts_b, slot, d_col, d_u, d_v,
     height, width = resolution
     if interpret is None:
         interpret = _interpret()
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
     C, ty, tx = counts_b.shape
     recT = jnp.swapaxes(rec_bwd_b, -1, -2)        # (C, TY, TX, 32, cap)
     kernel = partial(_bwd_kernel, cap=cap, chunk=chunk,
                      height=height, width=width)
     plane = pl.BlockSpec((1, TILE_H, TILE_W),
-                         lambda c, i, j, counts: (c, i, j),
+                         lambda c, i, j, counts, row0: (c, i, j),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(C, ty, tx),
         in_specs=[
             pl.BlockSpec((1, 1, 1, 32, cap),
-                         lambda c, i, j, counts: (c, i, j, 0, 0),
+                         lambda c, i, j, counts, row0: (c, i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             plane, plane, plane, plane, plane, plane,
         ],
         out_specs=pl.BlockSpec((1, 1, 1, cap, 32),
-                               lambda c, i, j, counts: (c, i, j, 0, 0),
+                               lambda c, i, j, counts, row0: (c, i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         # large caps reduce straight into the out block; the (cap, 128)
         # scratch would blow the scoped-VMEM budget
@@ -899,7 +915,7 @@ def raster_bwd_pallas(rec_bwd_b, counts_b, slot, d_col, d_u, d_v,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, ty, tx, cap, 32), jnp.float32),
         interpret=interpret, **_ccall_kwargs(cap),
-    )(counts_b, recT, slot,
+    )(counts_b, row0, recT, slot,
       d_col[..., 0], d_col[..., 1], d_col[..., 2], d_u, d_v)
 
 
@@ -907,14 +923,19 @@ def raster_bwd_pallas(rec_bwd_b, counts_b, slot, d_col, d_u, d_v,
 # XLA glue: binning for all cameras, slot-gradient chaining, vertex scatter
 # ---------------------------------------------------------------------------
 
-def _setup_and_bin(v_clip, faces, attrs, opp, height, width, cap):
+def _setup_and_bin(v_clip, faces, attrs, opp, height, width, cap,
+                   ty_range=None):
     """vmapped setup+binning: returns (rec_fwd_b, rec_bwd_b, bins, counts)
-    with shapes (C, TY, TX, cap, 32) ×2, (C, TY, TX, cap), (C, TY, TX)."""
+    with shapes (C, TY, TX, cap, 32) ×2, (C, TY, TX, cap), (C, TY, TX);
+    TY is the local row count under ``ty_range`` row sharding."""
     ty, tx = height // TILE_H, width // TILE_W
+    if ty_range is not None:
+        ty = ty_range[1]
 
     def per_cam(vc):
         rec_fwd, rec_bwd = triangle_setup(vc, faces, attrs, opp, height, width)
-        bins, counts = bin_triangles(rec_fwd, vc, faces, height, width, cap)
+        bins, counts = bin_triangles(rec_fwd, vc, faces, height, width, cap,
+                                     ty_range)
         safe = jnp.maximum(bins, 0)
         live = (bins >= 0)[..., None]
         rfb = jnp.where(live, rec_fwd[safe], 0.0)
@@ -1190,7 +1211,7 @@ def _aa_common(fid, z, fid_n, z_n):
     return owner, other, differs
 
 
-def _aa_fwd_kernel(counts_ref, rec_ref, recT_ref,
+def _aa_fwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref,
                    fid_ref, z_ref, fidr_ref, zr_ref, fidd_ref, zd_ref,
                    *rest, cap, chunk, height, width, D):
     col_refs = rest[:D]
@@ -1205,7 +1226,7 @@ def _aa_fwd_kernel(counts_ref, rec_ref, recT_ref,
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
-    pax, pay = _pixel_lanes(ti, tj, height, width)
+    pax, pay = _pixel_lanes(ti + row0_ref[0], tj, height, width)
     dxw = 2.0 / width
     dyh = 2.0 / height
     shape2d = (TILE_H, TILE_W)
@@ -1250,7 +1271,7 @@ def _aa_fwd_kernel(counts_ref, rec_ref, recT_ref,
 
 def _plane_spec():
     return pl.BlockSpec((1, TILE_H, TILE_W),
-                        lambda c, i, j, counts: (c, i, j),
+                        lambda c, i, j, counts, row0: (c, i, j),
                         memory_space=pltpu.VMEM)
 
 
@@ -1269,13 +1290,37 @@ def _shift_right_ch(x):
     return jnp.concatenate([jnp.zeros_like(x[:, :, :1]), x[:, :, :-1]], axis=2)
 
 
+# --- halo-aware row shifts for 'sp' image-row sharding -------------------
+# Under shard_map with the image H dimension sharded, vertical antialias
+# pairs cross shard boundaries: the down-neighbor of a shard's last row is
+# the NEXT shard's first row, and the shifted-down correction plane's last
+# row belongs to the next shard's first row.  One-row ppermute halos keep
+# the kernels themselves shard-oblivious.
+
+def _shift_up_halo(x, axis, sp):
+    """Down-neighbor values (global edge-replicated) across row shards."""
+    nxt = jax.lax.ppermute(x[:, :1], axis,
+                           [(s, s - 1) for s in range(1, sp)])
+    idx = jax.lax.axis_index(axis)
+    edge = jnp.where(idx == sp - 1, x[:, -1:], nxt)
+    return jnp.concatenate([x[:, 1:], edge], axis=1)
+
+
+def _shift_down_ch_halo(x, axis, sp):
+    """Push one row toward larger row index across shards (zero fill at
+    the global top; ppermute zero-fills the unaddressed first shard)."""
+    prev = jax.lax.ppermute(x[:, -1:], axis,
+                            [(s, s + 1) for s in range(sp - 1)])
+    return jnp.concatenate([prev, x[:, :-1]], axis=1)
+
+
 def _shift_down_ch(x):
     return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
 
 
-@partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "D", "interpret"))
+@partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "D", "interpret", "halo"))
 def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
-                  chunk=8, D=4, interpret=None):
+                  chunk=8, D=4, interpret=None, row0=None, halo=None):
     """Antialias forward.  color (C, H, W, D) -> antialiased (C, H, W, D).
 
     The last row/column pairs wrap onto themselves via edge-replicated
@@ -1284,6 +1329,8 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
     height, width = resolution
     if interpret is None:
         interpret = _interpret()
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
     C, ty, tx = counts_b.shape
     recT = _aa_slim_recT(rec_bwd_b)
     # large caps: the kernel keys gathers off slim row 6 (fid), so the
@@ -1292,25 +1339,26 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
     big = cap > _UNROLL_CAP
     rec_in = jnp.zeros((C, 1, 1, 8, 128), jnp.float32) if big else rec_bwd_b
     rec_spec = pl.BlockSpec(
-        (1, 1, 1, 8, 128), lambda c, i, j, counts: (c, 0, 0, 0, 0),
+        (1, 1, 1, 8, 128), lambda c, i, j, counts, row0: (c, 0, 0, 0, 0),
         memory_space=pltpu.VMEM) if big else pl.BlockSpec(
-        (1, 1, 1, cap, 32), lambda c, i, j, counts: (c, i, j, 0, 0),
+        (1, 1, 1, cap, 32), lambda c, i, j, counts, row0: (c, i, j, 0, 0),
         memory_space=pltpu.VMEM)
+    up = (lambda x: _shift_up_halo(x, *halo)) if halo else _shift_up
     fid_r, z_r = _shift_left(fid), _shift_left(z)
-    fid_d, z_d = _shift_up(fid), _shift_up(z)
+    fid_d, z_d = up(fid), up(z)
     col_r = _shift_left(color)
-    col_d = _shift_up(color)
+    col_d = up(color)
 
     kernel = partial(_aa_fwd_kernel, cap=cap, chunk=chunk,
                      height=height, width=width, D=D)
     n_in_planes = 6 + 3 * D
     n_out = 3 * D
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(C, ty, tx),
         in_specs=[rec_spec,
                   pl.BlockSpec((1, 1, 1, 16, cap),
-                               lambda c, i, j, counts: (c, i, j, 0, 0),
+                               lambda c, i, j, counts, row0: (c, i, j, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [_plane_spec()] * n_in_planes,
         out_specs=[_plane_spec()] * n_out,
@@ -1319,19 +1367,22 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
     chans = lambda a: [a[..., c] for c in range(D)]
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((C, ty * TILE_H, width),
+                                        jnp.float32)] * n_out,
         interpret=interpret, **_ccall_kwargs(cap),
-    )(counts_b, rec_in, recT, fid, z, fid_r, z_r, fid_d, z_d,
+    )(counts_b, row0, rec_in, recT, fid, z, fid_r, z_r, fid_d, z_d,
       *chans(color), *chans(col_r), *chans(col_d))
+    down = (lambda x: _shift_down_ch_halo(x, *halo)) if halo \
+        else _shift_down_ch
     out = jnp.stack(outs[:D], axis=-1)
     db_h = jnp.stack(outs[D:2 * D], axis=-1)
     db_v = jnp.stack(outs[2 * D:], axis=-1)
-    return out + _shift_right_ch(db_h) + _shift_down_ch(db_v)
+    return out + _shift_right_ch(db_h) + down(db_v)
 
 
 
 
-def _aa_bwd_kernel(counts_ref, rec_ref, recT_ref,
+def _aa_bwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref,
                    fid_ref, z_ref, fidr_ref, zr_ref, fidd_ref, zd_ref,
                    *rest, cap, chunk, height, width, D):
     col_refs = rest[:D]
@@ -1350,7 +1401,7 @@ def _aa_bwd_kernel(counts_ref, rec_ref, recT_ref,
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
-    pax, pay = _pixel_lanes(ti, tj, height, width)
+    pax, pay = _pixel_lanes(ti + row0_ref[0], tj, height, width)
     dxw = 2.0 / width
     dyh = 2.0 / height
     shape2d = (TILE_H, TILE_W)
@@ -1431,9 +1482,9 @@ def _aa_bwd_kernel(counts_ref, rec_ref, recT_ref,
         dslot_ref[0, 0, 0] = (S0[...] + S1[...])[:, :8]
 
 
-@partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "D", "interpret"))
+@partial(jax.jit, static_argnames=("resolution", "cap", "chunk", "D", "interpret", "halo"))
 def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
-                  chunk=8, D=4, interpret=None):
+                  chunk=8, D=4, interpret=None, row0=None, halo=None):
     """Antialias backward.
 
     Returns (d_color (C, H, W, D), dslot_aa (C, TY, TX, cap, 8) whose first
@@ -1441,36 +1492,39 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
     height, width = resolution
     if interpret is None:
         interpret = _interpret()
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
     C, ty, tx = counts_b.shape
     recT = _aa_slim_recT(rec_bwd_b)
     big = cap > _UNROLL_CAP
     rec_in = jnp.zeros((C, 1, 1, 8, 128), jnp.float32) if big else rec_bwd_b
     rec_spec = pl.BlockSpec(
-        (1, 1, 1, 8, 128), lambda c, i, j, counts: (c, 0, 0, 0, 0),
+        (1, 1, 1, 8, 128), lambda c, i, j, counts, row0: (c, 0, 0, 0, 0),
         memory_space=pltpu.VMEM) if big else pl.BlockSpec(
-        (1, 1, 1, cap, 32), lambda c, i, j, counts: (c, i, j, 0, 0),
+        (1, 1, 1, cap, 32), lambda c, i, j, counts, row0: (c, i, j, 0, 0),
         memory_space=pltpu.VMEM)
+    up = (lambda x: _shift_up_halo(x, *halo)) if halo else _shift_up
     fid_r, z_r = _shift_left(fid), _shift_left(z)
-    fid_d, z_d = _shift_up(fid), _shift_up(z)
+    fid_d, z_d = up(fid), up(z)
     col_r = _shift_left(color)
-    col_d = _shift_up(color)
+    col_d = up(color)
     dout_r = _shift_left(d_out)
-    dout_d = _shift_up(d_out)
+    dout_d = up(d_out)
 
     kernel = partial(_aa_bwd_kernel, cap=cap, chunk=chunk,
                      height=height, width=width, D=D)
     n_in_planes = 6 + 6 * D
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(C, ty, tx),
         in_specs=[rec_spec,
                   pl.BlockSpec((1, 1, 1, 16, cap),
-                               lambda c, i, j, counts: (c, i, j, 0, 0),
+                               lambda c, i, j, counts, row0: (c, i, j, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [_plane_spec()] * n_in_planes,
         out_specs=[_plane_spec()] * (3 * D)
         + [pl.BlockSpec((1, 1, 1, cap, 8),
-                        lambda c, i, j, counts: (c, i, j, 0, 0),
+                        lambda c, i, j, counts, row0: (c, i, j, 0, 0),
                         memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((16, _P), jnp.float32),
                         pltpu.VMEM((min(cap, _UNROLL_CAP), 128), jnp.float32),
@@ -1479,16 +1533,19 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
     chans = lambda a: [a[..., c] for c in range(D)]
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((C, height, width), jnp.float32)] * (3 * D)
+        out_shape=[jax.ShapeDtypeStruct((C, ty * TILE_H, width),
+                                        jnp.float32)] * (3 * D)
         + [jax.ShapeDtypeStruct((C, ty, tx, cap, 8), jnp.float32)],
         interpret=interpret, **_ccall_kwargs(cap),
-    )(counts_b, rec_in, recT, fid, z, fid_r, z_r, fid_d, z_d,
+    )(counts_b, row0, rec_in, recT, fid, z, fid_r, z_r, fid_d, z_d,
       *chans(color), *chans(col_r), *chans(col_d),
       *chans(d_out), *chans(dout_r), *chans(dout_d))
+    down = (lambda x: _shift_down_ch_halo(x, *halo)) if halo \
+        else _shift_down_ch
     dcol = jnp.stack(outs[:D], axis=-1) + d_out
     db_h = jnp.stack(outs[D:2 * D], axis=-1)
     db_v = jnp.stack(outs[2 * D:3 * D], axis=-1)
-    dcol = dcol + _shift_right_ch(db_h) + _shift_down_ch(db_v)
+    dcol = dcol + _shift_right_ch(db_h) + down(db_v)
     return dcol, outs[3 * D]
 
 
@@ -1519,7 +1576,8 @@ def _setup_prebinned(v_clip, faces, attrs, opp, bins, counts, height, width):
 
 
 def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
-                         cap=768, ablate="", prebinned=False):
+                         cap=768, ablate="", prebinned=False,
+                         row_shards=1, row_axis=None):
     """Build the full fused render op for one topology epoch.
 
     Mirrors NVDRenderer.render (scripts/render.py:204-220): rasterize ->
@@ -1529,6 +1587,13 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
     (C,H,W,4)`` shaded images (or ``(C,H,W,3)`` with shading=False; pass
     bg=None).  One custom_vjp wraps the chain so bins, rec tables and the
     slot map are shared between forward and backward kernels.
+
+    With ``row_shards=sp > 1`` (and ``row_axis`` the mesh axis name) the
+    pipe is built for ONE image-row shard under ``shard_map``: each device
+    bins and rasterizes only its ``TY/sp`` tile rows of every camera, and
+    the antialias pass exchanges one-row halos over ``row_axis`` (vertical
+    silhouette pairs cross shard boundaries).  Outputs are the local
+    (C, H/sp, W, D) row slice.
 
     With ``prebinned=True`` the op signature becomes
     ``pipe(v_clip, attrs, bg, bins (C,T,cap) int32, counts (C,T))`` and the
@@ -1542,6 +1607,21 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
     oj = np.ascontiguousarray(np.asarray(opp), dtype=np.int32)
     D = 4 if shading else 3
     inc_cache = {}
+    halo = None
+    if row_shards > 1:
+        ty_full = height // TILE_H
+        if ty_full % row_shards:
+            raise ValueError(f"{ty_full} tile rows not divisible by "
+                             f"row_shards={row_shards}")
+        ty_local = ty_full // row_shards
+        halo = (row_axis, row_shards)
+
+    def _row_ctx():
+        """(ty_range for binning, (1,) row0 operand for the kernels)."""
+        if row_shards <= 1:
+            return None, None
+        r0t = jax.lax.axis_index(row_axis) * ty_local
+        return (r0t, ty_local), jnp.reshape(r0t.astype(jnp.int32), (1,))
 
     def _inc(n_verts):
         if n_verts not in inc_cache:
@@ -1549,8 +1629,9 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
         return inc_cache[n_verts]
 
     def fwd_common(v_clip, attrs, bg, rfb, rbb, bins, counts):
+        _, row0 = _row_ctx()
         u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
-            rfb, counts, resolution, cap)
+            rfb, counts, resolution, cap, chunk=32, row0=row0)
         color = jnp.stack([c0, c1, c2], axis=-1)
         cov = (fid > 0.0)[..., None]
         if shading:
@@ -1558,7 +1639,8 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
             comp = jnp.where(cov, col4, bg)
         else:
             comp = color
-        out = aa_fwd_pallas(rbb, counts, fid, z, comp, resolution, cap, D=D)
+        out = aa_fwd_pallas(rbb, counts, fid, z, comp, resolution, cap, D=D,
+                            row0=row0, halo=halo)
         res = (rbb, bins, counts, slot, fid, z, comp, cov, v_clip.shape[1],
                None if bg is None else bg.shape)
         return out, res
@@ -1581,8 +1663,10 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
             return out
 
         def pipe_fwd(v_clip, attrs, bg):
+            ty_range, _ = _row_ctx()
             rfb, rbb, bins, counts = _setup_and_bin(v_clip, fj, attrs, oj,
-                                                    height, width, cap)
+                                                    height, width, cap,
+                                                    ty_range)
             return fwd_common(v_clip, attrs, bg, rfb, rbb, bins, counts)
 
     def pipe_bwd(res, g):
@@ -1592,12 +1676,14 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
         # a leaked variable must not silently corrupt gradients)
         (rbb, bins, counts, slot, fid, z, comp, cov, n_verts,
          bg_shape) = res[:10]
+        _, row0 = _row_ctx()
         if "aabwd" in ablate:
             d_comp, dslot_aa = g, jnp.zeros(
                 (*counts.shape, cap, 8), jnp.float32)
         else:
             d_comp, dslot_aa = aa_bwd_pallas(rbb, counts, fid, z, comp, g,
-                                             resolution, cap, D=D)
+                                             resolution, cap, D=D,
+                                             row0=row0, halo=halo)
         if shading:
             d_color = jnp.where(cov, d_comp[..., :3], 0.0)
         else:
@@ -1608,7 +1694,7 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
             dslot = raster_bwd_pallas(rbb, counts, slot, d_color,
                                       jnp.zeros_like(fid),
                                       jnp.zeros_like(fid),
-                                      resolution, cap)
+                                      resolution, cap, row0=row0)
         # combine raster + (boosted) antialias screen-space sums and chain
         # to clip space in one planar pass
         table21 = _chain_planes(dslot, dslot_aa, boost, rbb)
@@ -1679,7 +1765,7 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
         rbb = rbb.reshape(1, ty, tx, cap, 32)
         c3 = counts1.reshape(1, ty, tx).astype(jnp.int32)
         u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
-            rfb, c3, resolution, cap)
+            rfb, c3, resolution, cap, chunk=32)
         color = jnp.stack([c0, c1, c2], axis=-1)
         cov = (fid > 0.0)[..., None]
         if shading:

@@ -172,8 +172,11 @@ class Renderer:
         if self.backend == "pallas":
             # fused Pallas pipeline: rasterize+interpolate+antialias kernels
             prebinned = bins is not None
+            rs = getattr(self, "row_shards", 1) if self.mesh is not None else 1
+            if prebinned:
+                rs = 1      # large-F path shards cameras only (documented)
             cap = int(bins[0].shape[-1]) if prebinned else self.bin_cap
-            key = (self.res, self.shading, self.boost, cap, prebinned)
+            key = (self.res, self.shading, self.boost, cap, prebinned, rs)
             pipe = topology._pipe_cache.get(key)
             if pipe is None:
                 from .pallas_core import (make_render_pipeline,
@@ -188,7 +191,8 @@ class Renderer:
                     pipe = make_render_pipeline(
                         topology.faces, topology.opp, self.res,
                         shading=self.shading, boost=self.boost, cap=cap,
-                        prebinned=prebinned)
+                        prebinned=prebinned, row_shards=rs,
+                        row_axis="sp" if rs > 1 else None)
                 topology._pipe_cache[key] = pipe
             if self.shading:
                 attrs = sh_eval(self.sh_M, n) / np.pi   # (V, 3)
@@ -199,23 +203,27 @@ class Renderer:
                 if prebinned else ()
             if self.mesh is None:
                 return pipe(*args, *extra)
-            # SPMD: each device runs the fused kernels on its camera shard;
-            # the custom_vjp's replicated-operand cotangents (attrs, and
-            # v through the MVP transpose) are psum'd by shard_map's AD
+            # SPMD: each device runs the fused kernels on its camera shard
+            # (and, with rs > 1, its image-row shard); the custom_vjp's
+            # replicated-operand cotangents (attrs, and v through the MVP
+            # transpose) are psum'd by shard_map's AD
             from jax.sharding import PartitionSpec as P
             cam = P(self.cam_axes)
+            img = P(self.cam_axes, "sp" if rs > 1 else None, None, None)
             extra_specs = (cam, cam) if prebinned else ()
             if args[2] is None:
                 local = lambda vc, at, *eb: pipe(vc, at, None, *eb)
-                return jax.shard_map(local, mesh=self.mesh,
-                                     in_specs=(cam, P()) + extra_specs,
-                                     out_specs=cam,
-                                     check_vma=False)(args[0], args[1], *extra)
-            local = lambda vc, at, bg, *eb: pipe(vc, at, bg, *eb)
-            return jax.shard_map(local, mesh=self.mesh,
-                                 in_specs=(cam, P(), cam) + extra_specs,
-                                 out_specs=cam,
-                                 check_vma=False)(*args, *extra)
+                out = jax.shard_map(local, mesh=self.mesh,
+                                    in_specs=(cam, P()) + extra_specs,
+                                    out_specs=img,
+                                    check_vma=False)(args[0], args[1], *extra)
+            else:
+                local = lambda vc, at, bg, *eb: pipe(vc, at, bg, *eb)
+                out = jax.shard_map(local, mesh=self.mesh,
+                                    in_specs=(cam, P(), img) + extra_specs,
+                                    out_specs=img,
+                                    check_vma=False)(*args, *extra)
+            return out
         faces = jnp.asarray(topology.faces)
         rast = rasterize(v_ndc, faces, self.res, self.chunk)
         if self.shading:
