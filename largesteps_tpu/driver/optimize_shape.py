@@ -387,6 +387,11 @@ def optimize_shape(scene, params=None):
             result["tr_steps"].append(np.asarray(theta["tr"]))
 
         it += 1
+        if steps < 0:
+            # time-budget mode must count EXECUTED seconds (main.py:119-121
+            # semantics); async dispatch would otherwise run far ahead of
+            # the wall clock
+            jax.block_until_ready(losses)
         t = time.perf_counter()
 
     if p["checkpoint_every"] and p["checkpoint_path"]:
@@ -399,6 +404,11 @@ def optimize_shape(scene, params=None):
             v_src=v_src, f_src=f_src, step=it, step_size=step_size,
             remesh_schedule=full_schedule,
         )
+
+    # drain the async dispatch queue so wall_time reflects execution, not
+    # enqueue time (steps are dispatched asynchronously in step mode)
+    jax.block_until_ready(guess_fwd)
+    t = time.perf_counter()
 
     result["losses"] = np.array(
         [(float(a), float(b)) for a, b in loss_log], dtype=np.float64
