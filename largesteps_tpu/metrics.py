@@ -90,5 +90,13 @@ def hausdorff(va, fa, vb, fb) -> float:
 
 def symmetric_hausdorff(va, fa, vb, fb) -> float:
     """h(A→B) + h(B→A), the comparison-figure metric
-    (figures/comparison/generate_data.py:86-88)."""
+    (figures/comparison/generate_data.py:86-88).
+
+    Non-finite vertices (a diverged optimization) return inf immediately —
+    NaN coordinates make the native BVH traversal's comparisons all-false
+    and it effectively never terminates."""
+    import numpy as np
+    if not (np.isfinite(np.asarray(va)).all()
+            and np.isfinite(np.asarray(vb)).all()):
+        return float("inf")
     return hausdorff(va, fa, vb, fb) + hausdorff(vb, fb, va, fa)

@@ -29,7 +29,10 @@ def compute_face_normals(verts: jax.Array, faces) -> jax.Array:
     (cross(v1−v0, v2−v0), normalized)."""
     fv = verts[jnp.asarray(np.asarray(faces))]
     c = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
-    return c / jnp.linalg.norm(c, axis=1, keepdims=True)
+    # eps: a fully degenerate face (naive optimization at high resolution
+    # collapses triangles) must yield a zero normal, not NaN — an un-guarded
+    # 0/0 here turns one bad face into NaN parameters for the whole mesh
+    return c / (jnp.linalg.norm(c, axis=1, keepdims=True) + 1e-20)
 
 
 def compute_vertex_normals(verts: jax.Array, faces, face_normals: jax.Array) -> jax.Array:

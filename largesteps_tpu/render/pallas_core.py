@@ -354,7 +354,13 @@ def bin_triangles_host(v_ndc, faces, resolution, cap=None, margin=0.0,
     if cap is None:
         cap = suggest_cap(occ, chunk)
 
-    order = np.argsort(key, kind="stable")       # stable: ascending face id
+    # order bins by ymin within each tile (like the traced binning) so the
+    # forward kernel's chunk-level band skip sees y-coherent chunks; the
+    # margin keeps the ordering approximately valid until the next re-bin,
+    # and the kernels' (depth, fid)-lexicographic z-test makes results
+    # ordering-independent regardless
+    ymin_b = ymin[cam_id, face_id].astype(np.float32)
+    order = np.lexsort((ymin_b, key))
     key_s = key[order]
     face_s = face_id[order]
     starts = np.zeros(C * T + 1, np.int64)
