@@ -1785,8 +1785,10 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
         rfb = rfb.reshape(1, ty, tx, cap, 32)
         rbb = rbb.reshape(1, ty, tx, cap, 32)
         c3 = counts1.reshape(1, ty, tx).astype(jnp.int32)
+        # host bins are ymin-sorted too, so wide chunks stay band-coherent
+        # (measured 17.5 -> 15.4 ms per 327k-face camera at chunk 32 -> 128)
         u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
-            rfb, c3, resolution, cap, chunk=32)
+            rfb, c3, resolution, cap, chunk=128)
         color = jnp.stack([c0, c1, c2], axis=-1)
         cov = (fid > 0.0)[..., None]
         if shading:
