@@ -52,38 +52,73 @@ def _csr_from_coo(rows, cols, n):
 
 
 def greedy_aggregate(rows: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
-    """Two-pass greedy aggregation of the matrix graph (host).
+    """Vectorized greedy aggregation of the matrix graph (host).
 
-    Pass 1 makes an aggregate of every vertex whose neighborhood is still
-    fully unclaimed (root + its neighbors); pass 2 attaches each leftover
-    vertex to the adjacent aggregate it shares the most edges with.
+    Round-based replacement for the original per-vertex Python loop (which
+    measured 32-83 s at 163k vertices — ADVICE r3/r4): each round selects
+    the vertices that are local MINIMA of a fixed random priority among
+    still-unclaimed neighbors (an independent set, so their star aggregates
+    never collide), claims each root's unclaimed neighbors, and repeats.
+    Leftovers attach to the adjacent aggregate they share the most edges
+    with; isolated vertices become singletons.  Every step is a bulk
+    ``np.minimum.at``/``np.unique`` pass — O(E) per round, ~4 rounds.
     Returns agg_id (n,) int32 with ids in [0, n_aggregates).
     """
     off = rows != cols
-    indptr, adj = _csr_from_coo(rows[off], cols[off], n)
+    r = rows[off].astype(np.int64)
+    c = cols[off].astype(np.int64)
+    rng = np.random.default_rng(0)               # deterministic
+    pri = rng.permutation(n).astype(np.int64)
+    vert_of_pri = np.empty(n, np.int64)
+    vert_of_pri[pri] = np.arange(n)
     agg = np.full(n, -1, np.int64)
     n_agg = 0
-    # pass 1
-    for v in range(n):
-        if agg[v] >= 0:
-            continue
-        nb = adj[indptr[v]:indptr[v + 1]]
-        if (agg[nb] >= 0).any():
-            continue
-        agg[v] = n_agg
-        agg[nb] = n_agg
-        n_agg += 1
-    # pass 2: attach to the most-connected neighboring aggregate
-    leftover = np.flatnonzero(agg < 0)
-    for v in leftover:
-        nb_aggs = agg[adj[indptr[v]:indptr[v + 1]]]
-        nb_aggs = nb_aggs[nb_aggs >= 0]
-        if nb_aggs.size:
-            vals, counts = np.unique(nb_aggs, return_counts=True)
-            agg[v] = vals[np.argmax(counts)]
-        else:
-            agg[v] = n_agg     # isolated vertex: its own aggregate
-            n_agg += 1
+
+    for _round in range(8):
+        unclaimed = agg < 0
+        if not unclaimed.any():
+            break
+        m = unclaimed[r] & unclaimed[c]
+        rr, cc = r[m], c[m]
+        # local priority minima among unclaimed neighbors -> roots
+        nb_min = np.full(n, n, np.int64)
+        np.minimum.at(nb_min, rr, pri[cc])
+        is_root = unclaimed & (pri < nb_min)
+        roots = np.flatnonzero(is_root)
+        if roots.size == 0:
+            break
+        agg[roots] = n_agg + np.arange(roots.size)
+        n_agg += roots.size
+        # claim: each unclaimed non-root joins its min-priority adjacent root
+        best = np.full(n, n, np.int64)
+        sel = unclaimed[rr] & ~is_root[rr] & is_root[cc]
+        np.minimum.at(best, rr[sel], pri[cc[sel]])
+        claimed = best < n
+        agg[claimed] = agg[vert_of_pri[best[claimed]]]
+
+    # attach leftovers to the most-connected neighboring aggregate,
+    # iterating so chains of leftovers resolve (each pass is vectorized)
+    for _ in range(8):
+        left = agg < 0
+        if not left.any():
+            break
+        m = left[r] & (agg[c] >= 0)
+        if not m.any():
+            break
+        rr, cc = r[m], c[m]
+        pair = rr * (n_agg + 1) + agg[cc]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        v_of = uniq // (n_agg + 1)
+        a_of = uniq % (n_agg + 1)
+        order = np.lexsort((cnt, v_of))          # per-vertex ascending count
+        last = np.flatnonzero(
+            np.r_[v_of[order][1:] != v_of[order][:-1], True])
+        pick = order[last]
+        agg[v_of[pick]] = a_of[pick]
+    isolated = np.flatnonzero(agg < 0)
+    if isolated.size:
+        agg[isolated] = n_agg + np.arange(isolated.size)
+        n_agg += isolated.size
     return agg.astype(np.int32)
 
 

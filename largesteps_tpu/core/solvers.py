@@ -158,7 +158,7 @@ class CholeskySolver:
     method = "Cholesky"
 
     def __init__(self, M: SparseCOO, dense_limit: int = DENSE_LIMIT,
-                 refine: int = 0):
+                 refine: int = 0, max_block: int = 2048):
         self.n = M.shape[0]
         self.M = M
         self.refine = int(refine)
@@ -180,7 +180,7 @@ class CholeskySolver:
                 # refine=0: the factorization alone reaches ~2e-6 relative
                 # residual, already tighter than the reference CG's 1e-5
                 # stopping tolerance (largesteps/solvers.py:73)
-                self._big = BandedSolver(M, refine=0)
+                self._big = BandedSolver(M, refine=0, max_block=max_block)
             except BandedUnsuitable:
                 self._big = BlockAmgSolver(M, tol=1e-6)
 

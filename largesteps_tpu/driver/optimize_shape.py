@@ -74,6 +74,8 @@ def default_params():
         "checkpoint_every": 0, # iterations between checkpoints (0 = off)
         "checkpoint_path": None,
         "resume": None,        # path of a checkpoint to resume from
+        "nan_check_every": 25, # steps between non-finite-loss divergence
+                               # checks (host fetch; 0 disables)
     }
 
 
@@ -98,34 +100,68 @@ class EpochState:
     M: Any = None
     L: Any = None
     u: Any = None
+    solver: Any = None
     step_fn: Callable = None
     use_host_bins: bool = False
     bins: Any = None           # ((C,T,cap) int32, (C,T) int32) device arrays
     bin_cap: int = 0
+    last_sxy: Any = None       # (C,V,2) px positions at the last rebin
+    max_window_disp: float = 0.0
 
 
 def _host_bins(renderer, v, topology, margin, cap=None):
     """Host-side triangle binning for the current geometry (large-F path).
-    Returns ((bins, counts) device arrays, occupancy, cap)."""
+    Returns ((bins, counts) device arrays, occupancy, cap, screen-xy)."""
     from ..render.pallas_core import bin_triangles_host, suggest_cap
     from ..render.camera import project
     v_ndc = np.asarray(project(jnp.asarray(v), renderer.mvps))
     bins, counts, occ = bin_triangles_host(
         v_ndc, topology.faces, renderer.res, cap=cap, margin=margin)
-    return (jnp.asarray(bins), jnp.asarray(counts)), occ, bins.shape[-1]
+    # pixel-space positions, kept to validate the margin-staleness contract
+    # at the NEXT rebin (no vertex may move > ~margin/2 px inside a window)
+    h, w = renderer.res
+    safe_w = np.where(v_ndc[..., 3] == 0, 1.0, v_ndc[..., 3])
+    sxy = np.stack([(v_ndc[..., 0] / safe_w + 1.0) * (w / 2.0),
+                    (v_ndc[..., 1] / safe_w + 1.0) * (h / 2.0)], axis=-1)
+    return (jnp.asarray(bins), jnp.asarray(counts)), occ, bins.shape[-1], sxy
 
 
 def _rebin(st: EpochState, p, renderer, v_render):
     """Recompute host bins mid-epoch; grows the cap (recompile) only on
-    overflow — this is also the mid-epoch occupancy re-check."""
-    bins, occ, cap = _host_bins(renderer, v_render, st.topology,
-                                p["rebin_margin"], cap=st.bin_cap)
+    overflow — this is also the mid-epoch occupancy re-check and the
+    retrospective margin-staleness check (ADVICE r4): if any vertex moved
+    more than margin/2 px since the PREVIOUS rebin, that window's tiles may
+    have silently under-drawn, so warn with the measured displacement."""
+    bins, occ, cap, sxy = _host_bins(renderer, v_render, st.topology,
+                                     p["rebin_margin"], cap=st.bin_cap)
     if occ > st.bin_cap:           # overflow: resize and re-bin (rare)
-        bins, occ, cap = _host_bins(renderer, v_render, st.topology,
-                                    p["rebin_margin"], cap=None)
+        bins, occ, cap, sxy = _host_bins(renderer, v_render, st.topology,
+                                         p["rebin_margin"], cap=None)
         st.bin_cap = cap
+    if st.last_sxy is not None and st.last_sxy.shape == sxy.shape:
+        disp = float(np.max(np.abs(sxy - st.last_sxy)))
+        st.max_window_disp = max(st.max_window_disp, disp)
+        if disp > 0.5 * float(p["rebin_margin"]):
+            import warnings
+            warnings.warn(
+                f"vertices moved up to {disp:.2f} px between host rebins "
+                f"(> margin/2 = {0.5 * float(p['rebin_margin']):.2f}); the "
+                f"last {p['rebin_every']}-step window may have under-drawn "
+                f"tiles — lower rebin_every or raise rebin_margin")
+    st.last_sxy = sxy
     st.bins = bins
     return st
+
+
+def _make_solver(M, p, renderer):
+    """Solver for this epoch's matrix.  With a device mesh attached and the
+    CG solver selected, the solve runs edge-sharded under shard_map
+    (parallel/tri_shard.py) — the distributed-mesh path where solver state
+    must not be replicated work."""
+    if getattr(renderer, "mesh", None) is not None and p["solver"] == "CG":
+        from ..parallel.tri_shard import ShardedCGSolver
+        return ShardedCGSolver(M, renderer.mesh, axes=("dp", "sp"))
+    return get_solver(M, p["solver"])
 
 
 def _build_epoch(v_src, f_src, p, renderer):
@@ -138,7 +174,7 @@ def _build_epoch(v_src, f_src, p, renderer):
     st.use_host_bins = (renderer.backend == "pallas"
                         and st.topology.n_faces >= int(p["host_bin_faces"]))
     if st.use_host_bins:
-        st.bins, occ, st.bin_cap = _host_bins(
+        st.bins, occ, st.bin_cap, st.last_sxy = _host_bins(
             renderer, v_src, st.topology, p["rebin_margin"])
     else:
         # size the raster bins for this epoch's geometry before the first
@@ -148,7 +184,7 @@ def _build_epoch(v_src, f_src, p, renderer):
         st.M = compute_matrix(v_unique, f_unique, lambda_=p["lambda"], alpha=p["alpha"])
         st.u = to_differential(st.M, jnp.asarray(v_unique))
         # materialize the factorization now (once per epoch)
-        get_solver(st.M, p["solver"])
+        st.solver = _make_solver(st.M, p, renderer)
     return st
 
 
@@ -159,8 +195,7 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
     dup = jnp.asarray(st.duplicate_idx)
     f_unique = st.f_unique
     L = st.L
-    M = st.M
-    solver = get_solver(M, p["solver"]) if smooth else None
+    solver = st.solver if smooth else None
     reg = float(p["reg"])
     loss_kind = p["loss"]
     bilap = p["bilaplacian"]
@@ -218,6 +253,7 @@ def optimize_shape(scene, params=None):
     p = default_params()
     if params:
         p.update(params)
+    t_setup0 = time.perf_counter()
 
     # persistent compile cache: each topology epoch is a recompile boundary,
     # and the two render chains cost minutes to compile cold on the axon
@@ -267,7 +303,7 @@ def optimize_shape(scene, params=None):
     ref_topo = Topology(f_ref)
     if renderer.backend == "pallas" \
             and ref_topo.n_faces >= int(p["host_bin_faces"]):
-        ref_bins, _, _ = _host_bins(renderer, v_ref, ref_topo, 0.0)
+        ref_bins, _, _, _ = _host_bins(renderer, v_ref, ref_topo, 0.0)
         ref_imgs = renderer.render(v_ref, n_ref, ref_topo, bins=ref_bins)
     else:
         ref_imgs = renderer.render(v_ref, n_ref, ref_topo)
@@ -293,6 +329,19 @@ def optimize_shape(scene, params=None):
         from .checkpoint import load_pytree
         theta = load_pytree(resume_data["theta"], theta)
         opt_state = load_pytree(resume_data["opt_state"], opt_state)
+        if st.use_host_bins:
+            # the epoch's bins were computed from v_src, but the restored
+            # theta may be far from it — until the first scheduled rebin the
+            # tiles would silently under-draw (ADVICE r4).  Re-bin from the
+            # restored solved vertices now.
+            if p["smooth"]:
+                v_restored = np.asarray(jax.lax.stop_gradient(
+                    diff_solve(st.solver, theta["u"])))
+            else:
+                v_restored = np.asarray(theta["u"])
+            tr_np = np.asarray(theta["tr"]) if p["use_tr"] else 0.0
+            st = _rebin(st, p, renderer,
+                        v_restored[st.duplicate_idx] + tr_np)
     guess_fwd = jnp.asarray(st.v_unique)
     guess_bwd = jnp.zeros_like(guess_fwd)
     step = _make_step(st, p, renderer, ref_imgs, tx)
@@ -323,6 +372,8 @@ def optimize_shape(scene, params=None):
     }
 
     it = start_it
+    prof = {"rebin_s": 0.0, "rebin_n": 0, "first_step_s": 0.0,
+            "setup_s": time.perf_counter() - t_setup0}
     t0 = time.perf_counter()
     t = t0
     loss_log = []
@@ -340,7 +391,7 @@ def optimize_shape(scene, params=None):
             # --- remesh event: host round-trip, new epoch ---------------
             from ..native import remesh as native_remesh
             if p["smooth"]:
-                v_unique = diff_solve(get_solver(st.M, p["solver"]), theta["u"])
+                v_unique = diff_solve(st.solver, theta["u"])
                 v_unique = np.asarray(jax.lax.stop_gradient(v_unique))
             else:
                 v_unique = np.asarray(theta["u"])
@@ -371,14 +422,36 @@ def optimize_shape(scene, params=None):
                 and (it - start_it) % int(p["rebin_every"]) == 0:
             # refresh the margin-expanded host bins for the moved geometry;
             # doubles as the mid-epoch occupancy/overflow re-check
+            t_rb = time.perf_counter()
             tr_np = np.asarray(theta["tr"]) if p["use_tr"] else 0.0
             v_render = np.asarray(guess_fwd)[st.duplicate_idx] + tr_np
             st = _rebin(st, p, renderer, v_render)
+            prof["rebin_s"] += time.perf_counter() - t_rb
+            prof["rebin_n"] += 1
 
+        t_st = time.perf_counter() if it == start_it else 0.0
         theta, opt_state, losses, guess_fwd, guess_bwd = step(
             theta, opt_state, guess_fwd, guess_bwd
         )
+        if it == start_it:
+            # first step = trace + compile (+ one execution); recorded so
+            # sustained-throughput numbers can separate compile from run
+            jax.block_until_ready(losses)
+            prof["first_step_s"] = time.perf_counter() - t_st
         loss_log.append(losses)
+        # divergence detection: a NaN/Inf loss means every further step is
+        # wasted work (round-4 naive teaser leg burned its full budget
+        # producing NaNs).  Check periodically (not every step — a per-step
+        # host fetch would serialize the async dispatch pipeline).
+        if p["nan_check_every"] and (it + 1) % int(p["nan_check_every"]) == 0:
+            if not np.isfinite(float(np.asarray(losses[0]))):
+                import warnings
+                warnings.warn(
+                    f"non-finite loss at iteration {it}; aborting "
+                    f"optimization (diverged)")
+                result["diverged"] = True
+                it += 1
+                break
         if p["record_verts"]:
             # the step already returns this iteration's solved vertices as
             # the next forward warm start — record those instead of paying a
@@ -394,6 +467,13 @@ def optimize_shape(scene, params=None):
             jax.block_until_ready(losses)
         t = time.perf_counter()
 
+    # drain the async dispatch queue so wall_time reflects execution, not
+    # enqueue time (steps are dispatched asynchronously in step mode); the
+    # timestamp is taken BEFORE the final checkpoint write so checkpointed
+    # runs report the same wall_time as uncheckpointed ones
+    jax.block_until_ready(guess_fwd)
+    t = time.perf_counter()
+
     if p["checkpoint_every"] and p["checkpoint_path"]:
         # final checkpoint so a finished run (or a steps-budget slice of a
         # longer schedule) can be resumed exactly from its end state
@@ -405,17 +485,12 @@ def optimize_shape(scene, params=None):
             remesh_schedule=full_schedule,
         )
 
-    # drain the async dispatch queue so wall_time reflects execution, not
-    # enqueue time (steps are dispatched asynchronously in step mode)
-    jax.block_until_ready(guess_fwd)
-    t = time.perf_counter()
-
     result["losses"] = np.array(
         [(float(a), float(b)) for a, b in loss_log], dtype=np.float64
     )
     # final state
     if p["smooth"]:
-        v_final = diff_solve(get_solver(st.M, p["solver"]), theta["u"])
+        v_final = diff_solve(st.solver, theta["u"])
     else:
         v_final = theta["u"]
     result["v_final"] = np.asarray(jax.lax.stop_gradient(v_final))[st.duplicate_idx]
@@ -423,4 +498,6 @@ def optimize_shape(scene, params=None):
     result["tr"] = np.asarray(theta["tr"])
     result["iters"] = it
     result["wall_time"] = t - t0
+    prof["max_window_disp_px"] = st.max_window_disp
+    result["prof"] = prof
     return result

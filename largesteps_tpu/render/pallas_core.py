@@ -1580,9 +1580,11 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
 def _setup_prebinned(v_clip, faces, attrs, opp, bins, counts, height, width):
     """Binned-layout record build from precomputed (host) bins.
 
-    bins (C, T, cap) int32 (-1 padding), counts (C, T).  Returns the same
-    (rfb, rbb, bins, counts) 4-tuple as _setup_and_bin."""
-    ty, tx = height // TILE_H, width // TILE_W
+    bins (C, T, cap) int32 (-1 padding), counts (C, T) — T may be a LOCAL
+    tile-row slice under 'sp' row sharding (ty is derived from T).  Returns
+    the same (rfb, rbb, bins, counts) 4-tuple as _setup_and_bin."""
+    tx = width // TILE_W
+    ty = bins.shape[1] // tx
     C = v_clip.shape[0]
     cap = bins.shape[-1]
     rfb, rbb = jax.vmap(
@@ -1591,6 +1593,20 @@ def _setup_prebinned(v_clip, faces, attrs, opp, bins, counts, height, width):
     return (rfb.reshape(C, ty, tx, cap, 32), rbb.reshape(C, ty, tx, cap, 32),
             bins.reshape(C, ty, tx, cap),
             counts.reshape(C, ty, tx).astype(jnp.int32))
+
+
+def _slice_bin_rows(bins, counts, r0t, ty_local, tx):
+    """Slice full-image host bins (C, TY·TX, cap)/(C, TY·TX) down to the
+    local ``ty_local`` tile rows starting at traced tile-row ``r0t`` (the
+    'sp' row-sharding path: bins stay replicated across the row axis and
+    each device takes its slice in-graph)."""
+    C, T, cap = bins.shape
+    ty_full = T // tx
+    b4 = jax.lax.dynamic_slice_in_dim(
+        bins.reshape(C, ty_full, tx, cap), r0t, ty_local, axis=1)
+    c3 = jax.lax.dynamic_slice_in_dim(
+        counts.reshape(C, ty_full, tx), r0t, ty_local, axis=1)
+    return b4.reshape(C, ty_local * tx, cap), c3.reshape(C, ty_local * tx)
 
 
 def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
@@ -1673,8 +1689,13 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
             return out
 
         def pipe_fwd(v_clip, attrs, bg, bins, counts):
+            bins_l, counts_l = bins, counts
+            if row_shards > 1:
+                (r0t, tyl), _ = _row_ctx()
+                bins_l, counts_l = _slice_bin_rows(bins, counts, r0t, tyl,
+                                                   width // TILE_W)
             rfb, rbb, bins4, counts3 = _setup_prebinned(
-                v_clip, fj, attrs, oj, bins, counts, height, width)
+                v_clip, fj, attrs, oj, bins_l, counts_l, height, width)
             out, res = fwd_common(v_clip, attrs, bg, rfb, rbb, bins4, counts3)
             return out, res + (bins.shape, counts.shape)
     else:
@@ -1755,32 +1776,57 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
 # At nefertiti scale (≥100k vertices, 327k faces, 13×256²) the batched
 # pipeline's working set — two (C, T, cap≈40k, 32) record tables plus the
 # backward's gradient table — exceeds HBM once TPU tile padding (trailing
-# 32 → 128 lanes) is accounted for.  This variant holds only ONE camera's
-# tables at a time via ``lax.map`` (XLA reuses the body's buffers across
-# iterations), recomputes the backward records instead of saving them as
-# residuals, and runs the planar chain+scatter per camera.  Kernel-level
-# code is IDENTICAL to the batched path (grid C=1).
+# 32 → 128 lanes) is accounted for.  This variant processes ONE camera at a
+# time through a PYTHON-UNROLLED loop (not lax.map — a loop body drops the
+# kernels' vmem-limit attribute on the axon AOT path, see _ccall_kwargs);
+# the "one camera's tables at a time" memory bound rests on XLA's
+# liveness/buffer-reuse scheduling of the straight-line chains.  It
+# recomputes the backward records instead of saving them as residuals, and
+# runs the planar chain+scatter per camera.  Kernel-level code is IDENTICAL
+# to the batched path (grid C=1).
 
 def make_render_pipeline_big(faces, opp, resolution, shading=True,
-                             boost=1.0, cap=8192):
+                             boost=1.0, cap=8192, row_shards=1,
+                             row_axis=None):
     """Camera-sequential prebinned render op for the ≥100k-face regime.
 
     Same contract as ``make_render_pipeline(..., prebinned=True)``:
     ``pipe(v_clip (C,V,4), attrs (V,3), bg, bins (C,T,cap), counts (C,T))``.
+
+    With ``row_shards=sp > 1`` (under ``shard_map``, ``row_axis`` the mesh
+    axis name): bins/counts arrive replicated over 'sp' covering the FULL
+    image; each device slices its ``TY/sp`` tile rows in-graph, renders its
+    row slice of every local camera, and the antialias pass ppermutes
+    one-row halos over ``row_axis``.  ``bg`` and the output are the local
+    (C, H/sp, W, D) row slices.
     """
     height, width = resolution
-    ty, tx = height // TILE_H, width // TILE_W
+    ty_full, tx = height // TILE_H, width // TILE_W
     fj = np.ascontiguousarray(np.asarray(faces), dtype=np.int32)
     oj = np.ascontiguousarray(np.asarray(opp), dtype=np.int32)
     D = 4 if shading else 3
     inc_cache = {}
+    halo = None
+    ty = ty_full
+    if row_shards > 1:
+        if ty_full % row_shards:
+            raise ValueError(f"{ty_full} tile rows not divisible by "
+                             f"row_shards={row_shards}")
+        ty = ty_full // row_shards
+        halo = (row_axis, row_shards)
+
+    def _row_ctx():
+        if row_shards <= 1:
+            return jnp.zeros((1,), jnp.int32)
+        r0t = jax.lax.axis_index(row_axis) * ty
+        return jnp.reshape(r0t.astype(jnp.int32), (1,))
 
     def _inc(n_verts):
         if n_verts not in inc_cache:
             inc_cache[n_verts] = build_incidence(fj, n_verts)
         return inc_cache[n_verts]
 
-    def cam_fwd(vc1, bg1, bins1, counts1, attrs):
+    def cam_fwd(vc1, bg1, bins1, counts1, attrs, row0):
         rfb, rbb = setup_from_bins(vc1, fj, attrs, oj, bins1, height, width)
         rfb = rfb.reshape(1, ty, tx, cap, 32)
         rbb = rbb.reshape(1, ty, tx, cap, 32)
@@ -1788,7 +1834,7 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
         # host bins are ymin-sorted too, so wide chunks stay band-coherent
         # (measured 17.5 -> 15.4 ms per 327k-face camera at chunk 32 -> 128)
         u, v, z, fid, slot, c0, c1, c2 = raster_fwd_pallas(
-            rfb, c3, resolution, cap, chunk=128)
+            rfb, c3, resolution, cap, chunk=128, row0=row0)
         color = jnp.stack([c0, c1, c2], axis=-1)
         cov = (fid > 0.0)[..., None]
         if shading:
@@ -1796,7 +1842,8 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
             comp = jnp.where(cov, col4, bg1[None])
         else:
             comp = color
-        out = aa_fwd_pallas(rbb, c3, fid, z, comp, resolution, cap, D=D)
+        out = aa_fwd_pallas(rbb, c3, fid, z, comp, resolution, cap, D=D,
+                            row0=row0, halo=halo)
         return out[0], slot[0], fid[0], z[0], comp[0], cov[0]
 
     @jax.custom_vjp
@@ -1805,13 +1852,22 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
         return out
 
     def pipe_fwd(v_clip, attrs, bg, bins, counts):
+        row0 = _row_ctx()
+        if row_shards > 1:
+            bins_l, counts_l = _slice_bin_rows(
+                bins, counts, row0[0], ty, tx)
+        else:
+            bins_l, counts_l = bins, counts
         bg_in = bg if shading else jnp.zeros(
-            (v_clip.shape[0], height, width, D), jnp.float32)
-        # python-unrolled camera loop, NOT lax.map: a while body silently
-        # drops the kernels' vmem-limit attribute on the axon AOT path
-        # (see _ccall_kwargs); XLA's liveness analysis still reuses the
-        # per-camera table buffers across the straight-line chains
-        per_cam = [cam_fwd(v_clip[i], bg_in[i], bins[i], counts[i], attrs)
+            (v_clip.shape[0], ty * TILE_H, width, D), jnp.float32)
+        # PYTHON-UNROLLED camera loop (deliberately NOT lax.map/scan): a
+        # loop body silently drops the kernels' vmem-limit attribute on the
+        # axon AOT path (see _ccall_kwargs), so the cameras compile as
+        # straight-line kernel chains.  The "one camera's tables at a time"
+        # memory bound therefore rests on XLA's liveness/buffer-reuse
+        # scheduling of those chains, not on program structure.
+        per_cam = [cam_fwd(v_clip[i], bg_in[i], bins_l[i], counts_l[i],
+                           attrs, row0)
                    for i in range(v_clip.shape[0])]
         out, slot, fid, z, comp, cov = (
             jnp.stack([p[k] for p in per_cam]) for k in range(6))
@@ -1823,6 +1879,12 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
         (v_clip, attrs, bins, counts, slot, fid, z, comp, cov,
          bg_shape) = res
         n_verts = v_clip.shape[1]
+        row0 = _row_ctx()
+        if row_shards > 1:
+            bins_l, counts_l = _slice_bin_rows(
+                bins, counts, row0[0], ty, tx)
+        else:
+            bins_l, counts_l = bins, counts
 
         def cam_bwd(t):
             vc1, bins1, counts1, slot1, fid1, z1, comp1, cov1, g1 = t
@@ -1832,7 +1894,7 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
             c3 = counts1.reshape(1, ty, tx).astype(jnp.int32)
             d_comp, dslot_aa = aa_bwd_pallas(
                 rbb, c3, fid1[None], z1[None], comp1[None], g1[None],
-                resolution, cap, D=D)
+                resolution, cap, D=D, row0=row0, halo=halo)
             if shading:
                 d_color = jnp.where(cov1[None], d_comp[..., :3], 0.0)
             else:
@@ -1840,7 +1902,7 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
             dslot = raster_bwd_pallas(rbb, c3, slot1[None], d_color,
                                       jnp.zeros_like(fid1)[None],
                                       jnp.zeros_like(fid1)[None],
-                                      resolution, cap)
+                                      resolution, cap, row0=row0)
             table21 = _chain_planes(dslot, dslot_aa, boost, rbb)
             dv1, da1 = _scatter_via_faces(
                 table21, bins1.reshape(1, ty, tx, cap), _inc(n_verts),
@@ -1851,7 +1913,7 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
                 d_bg1 = jnp.zeros_like(comp1)
             return dv1[0], da1, d_bg1
 
-        per_cam = [cam_bwd((v_clip[i], bins[i], counts[i], slot[i],
+        per_cam = [cam_bwd((v_clip[i], bins_l[i], counts_l[i], slot[i],
                             fid[i], z[i], comp[i], cov[i], g[i]))
                    for i in range(v_clip.shape[0])]
         dv, da, dbg = (jnp.stack([p[k] for p in per_cam]) for k in range(3))

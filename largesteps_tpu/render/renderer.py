@@ -173,8 +173,6 @@ class Renderer:
             # fused Pallas pipeline: rasterize+interpolate+antialias kernels
             prebinned = bins is not None
             rs = getattr(self, "row_shards", 1) if self.mesh is not None else 1
-            if prebinned:
-                rs = 1      # large-F path shards cameras only (documented)
             cap = int(bins[0].shape[-1]) if prebinned else self.bin_cap
             key = (self.res, self.shading, self.boost, cap, prebinned, rs)
             pipe = topology._pipe_cache.get(key)
@@ -183,10 +181,13 @@ class Renderer:
                                           make_render_pipeline_big,
                                           _UNROLL_CAP)
                 if prebinned and cap > _UNROLL_CAP:
-                    # ≥100k-face regime: camera-sequential, memory-bounded
+                    # ≥100k-face regime: camera-sequential, memory-bounded;
+                    # with rs > 1 each device renders its tile-row slice of
+                    # every local camera (full (dp × sp)-way parallelism)
                     pipe = make_render_pipeline_big(
                         topology.faces, topology.opp, self.res,
-                        shading=self.shading, boost=self.boost, cap=cap)
+                        shading=self.shading, boost=self.boost, cap=cap,
+                        row_shards=rs, row_axis="sp" if rs > 1 else None)
                 else:
                     pipe = make_render_pipeline(
                         topology.faces, topology.opp, self.res,

@@ -128,9 +128,58 @@ def test_driver_host_bins_matches_traced():
                                rtol=1e-3, atol=1e-5)
 
 
+def test_big_pipeline_row_sharded_matches_single():
+    """The large-F pipeline under shard_map with (dp, sp) BOTH > 1: cameras
+    sharded over 'dp', image tile rows over 'sp' (in-graph bin-row slicing +
+    AA halo ppermutes) must match the unsharded big pipeline."""
+    from jax.sharding import PartitionSpec as P
+    from largesteps_tpu.parallel.sharding import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    s = make_scene(source=("icosphere", 3), target=("gourd", 3),
+                   n_views=4, res=128)
+    s["res_y"], s["res_x"] = 64, 128
+    r = Renderer(s, shading=True, boost=3)
+    v = jnp.asarray(s["mesh-source"]["vertices"])
+    f = s["mesh-source"]["faces"]
+    topo = Topology(f)
+    fn = compute_face_normals(v, f)
+    n = compute_vertex_normals(v, f, fn)
+    attrs = sh_eval(r.sh_M, n) / np.pi
+    v_ndc = project(v, r.mvps)
+    cap = 1280
+    bins, counts, occ = pc.bin_triangles_host(
+        np.asarray(v_ndc), topo.faces, r.res, cap=cap, margin=2.0)
+    assert occ <= cap
+    bins, counts = jnp.asarray(bins), jnp.asarray(counts)
+
+    pipe1 = pc.make_render_pipeline_big(topo.faces, topo.opp, r.res,
+                                        shading=True, boost=3.0, cap=cap)
+    mesh = make_mesh(8, sp=2)
+    pipe8 = pc.make_render_pipeline_big(topo.faces, topo.opp, r.res,
+                                        shading=True, boost=3.0, cap=cap,
+                                        row_shards=2, row_axis="sp")
+    cam = P("dp")
+    img = P("dp", "sp", None, None)
+    sharded = jax.shard_map(
+        lambda vc, at, bg, b, c: pipe8(vc, at, bg, b, c),
+        mesh=mesh, in_specs=(cam, P(), img, cam, cam), out_specs=img,
+        check_vma=False)
+
+    out0 = pipe1(v_ndc, attrs, r.bgs, bins, counts)
+    out1 = sharded(v_ndc, attrs, r.bgs, bins, counts)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=0, atol=1e-5)
+    g0 = jax.grad(lambda vc: pipe1(vc, attrs, r.bgs, bins, counts).sum())(v_ndc)
+    g1 = jax.grad(lambda vc: sharded(vc, attrs, r.bgs, bins, counts).sum())(v_ndc)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_big_pipeline_matches_batched(scene):
-    """The camera-sequential large-F pipeline (lax.map + planar glue +
-    recompute-in-bwd) must match the batched traced-binning pipeline."""
+    """The camera-sequential large-F pipeline (Python-unrolled camera loop
+    + planar glue + recompute-in-bwd) must match the batched traced-binning
+    pipeline."""
     r, topo, v_ndc, attrs = scene
     pipe_small = pc.make_render_pipeline(topo.faces, topo.opp, r.res,
                                          shading=True, boost=3.0, cap=640)
