@@ -233,26 +233,46 @@ def bench_ablate(n_views=13, res=256):
     return out
 
 
-def bench_step_nefertiti(steps=4):
+def bench_step_nefertiti(steps=40):
     """End-to-end driver throughput at the north-star scale: 163,842 verts
     (327,680 faces), 13 views, 256², default Cholesky (banded) solver,
-    host-binned render path."""
+    host-binned render path with the DRIVER-DEFAULT rebin policy (the
+    round-4 number measured with rebinning disabled and was 12× the real
+    rate — this one runs the production config).  ``cull_backfaces`` is on:
+    the synthetic meshes are closed and the cull is image-parity-tested.
+
+    Reported:
+      * .._sustained — (iters-1)/(wall − first-step): everything a long run
+        pays per step (device step, rebins, dispatch, drain) with only the
+        one-time trace/compile excluded (it amortizes over the 2170-step
+        production runs; reported separately).
+      * nefertiti_first_step_s — trace+compile(+1 exec) of the big pipeline.
+      * nefertiti_rebin_ms — mean cost per rebin event.
+    """
     import numpy as np
     from largesteps_tpu.io.synth import make_scene
     from largesteps_tpu.driver import optimize_shape
 
     scene = make_scene(source=("icosphere", 7), target=("gourd", 4),
                        n_views=13, res=256)
-    p = {"steps": 1, "step_size": 0.05, "lambda": 19.0, "boost": 3,
-         "solver": "Cholesky", "rebin_every": 0}
-    optimize_shape(scene, p)             # warm the compile caches
-    # two-point measurement: every run re-traces its jitted step (fresh
-    # closures), so the steady-state rate is the difference quotient
-    short = optimize_shape(scene, {**p, "steps": 2})
-    long_ = optimize_shape(scene, {**p, "steps": 2 + steps})
-    its = steps / max(long_["wall_time"] - short["wall_time"], 1e-9)
-    return {"metric": "opt_iters_per_s_163842v", "value": round(its, 3),
-            "unit": "iter/s", "vs_baseline": None}
+    p = {"steps": steps, "step_size": 0.05, "lambda": 19.0, "boost": 3,
+         "solver": "Cholesky", "cull_backfaces": True}
+    r = optimize_shape(scene, p)
+    prof = r["prof"]
+    post = max(r["wall_time"] - prof["first_step_s"], 1e-9)
+    sustained = (r["iters"] - 1) / post
+    return [
+        {"metric": "opt_iters_per_s_163842v_sustained",
+         "value": round(sustained, 3), "unit": "iter/s", "vs_baseline": None},
+        {"metric": "nefertiti_first_step_s",
+         "value": round(prof["first_step_s"], 2), "unit": "s",
+         "vs_baseline": None},
+        {"metric": "nefertiti_rebin_ms",
+         "value": round(prof["rebin_s"] / max(prof["rebin_n"], 1) * 1e3, 1),
+         "unit": "ms", "vs_baseline": None},
+        {"metric": "nefertiti_rebin_n", "value": prof["rebin_n"],
+         "unit": "count", "vs_baseline": None},
+    ]
 
 
 def main():
@@ -269,9 +289,10 @@ def main():
     for line in bench_ablate():
         print(json.dumps(line), flush=True)
     try:
-        print(json.dumps(bench_step_nefertiti()), flush=True)
+        for line in bench_step_nefertiti():
+            print(json.dumps(line), flush=True)
     except Exception as e:   # must never cost the headline metric
-        print(json.dumps({"metric": "opt_iters_per_s_163842v",
+        print(json.dumps({"metric": "opt_iters_per_s_163842v_sustained",
                           "value": None, "unit": "iter/s",
                           "vs_baseline": None,
                           "error": str(e)[:200]}), flush=True)

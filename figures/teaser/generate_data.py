@@ -1,20 +1,31 @@
 """Teaser experiment: one scene, four methods (reference
 figures/teaser/generate_data.py:18-38 — nefertiti; ours 2170 steps,
 ours+remesh 1320, laplacian-regularized 2500, naive 2420; equal-time
-frozen step counts)."""
+frozen step counts).
+
+Hyperparameters mirror the reference exactly
+(figures/teaser/generate_data.py:18-28): boost 3, α = 0.98, l1 loss;
+AdamUniform lr 2e-3 for the smooth legs, Adam lr 1e-2 for reg (weight 16)
+and naive; remesh at step 250 for the remesh leg.  ``cull_backfaces`` is a
+TPU-side binning optimization valid for these closed synthetic meshes
+(tests/test_device_bins.py::test_backface_cull_image_parity).
+"""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from common import run
 
 SCENE = "nefertiti"
+COMMON = {"boost": 3, "alpha": 0.98, "loss": "l1", "cull_backfaces": True}
 METHODS = {
-    "ours":        {"steps": 2170, "smooth": True,  "lambda": 19.0, "step_size": 0.05, "boost": 3},
-    "ours_remesh": {"steps": 1320, "smooth": True,  "lambda": 19.0, "step_size": 0.05, "boost": 3,
-                    "remesh": [300]},
-    "reg":         {"steps": 2500, "smooth": False, "reg": 6.0, "optimizer": "Adam",
-                    "step_size": 0.001, "boost": 3},
-    "naive":       {"steps": 2420, "smooth": False, "optimizer": "Adam",
-                    "step_size": 0.001, "boost": 3},
+    "ours":        {**COMMON, "steps": 2170, "smooth": True,
+                    "step_size": 2e-3, "optimizer": "AdamUniform"},
+    "ours_remesh": {**COMMON, "steps": 1320, "smooth": True,
+                    "step_size": 2e-3, "optimizer": "AdamUniform",
+                    "remesh": 250},
+    "reg":         {**COMMON, "steps": 2500, "smooth": False, "reg": 16.0,
+                    "step_size": 1e-2, "optimizer": "Adam"},
+    "naive":       {**COMMON, "steps": 2420, "smooth": False,
+                    "step_size": 1e-2, "optimizer": "Adam"},
 }
 
 if __name__ == "__main__":

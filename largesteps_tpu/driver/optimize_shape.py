@@ -69,8 +69,18 @@ def default_params():
         # every rebin_every steps — the traced per-step binning is
         # O(T·F log F) and measured 22 s/step at 327k faces on chip
         "host_bin_faces": 32768,
-        "rebin_every": 16,     # steps between host re-binning passes
+        "host_bin_cap": None,  # minimum bin capacity for the host-binned
+                               # path (None = size from occupancy); >1024
+                               # forces the camera-sequential big pipeline
+        "rebin_every": 16,     # max steps between re-binning passes
         "rebin_margin": 4.0,   # bbox expansion (px) that keeps stale bins valid
+        "rebin_auto": True,    # rebin when the measured screen displacement
+                               # since bin time exceeds margin/2 (device
+                               # scalar polled lazily; enforces the
+                               # margin-staleness contract instead of hoping)
+        "cull_backfaces": False,  # drop screen-space back-facing triangles
+                               # from the host/device bins (valid for closed
+                               # meshes; halves bin occupancy)
         "checkpoint_every": 0, # iterations between checkpoints (0 = off)
         "checkpoint_path": None,
         "resume": None,        # path of a checkpoint to resume from
@@ -107,23 +117,90 @@ class EpochState:
     bin_cap: int = 0
     last_sxy: Any = None       # (C,V,2) px positions at the last rebin
     max_window_disp: float = 0.0
+    sxy_dev: Any = None        # (C,V,2) device px positions at bin time
+    dup_dev: Any = None        # duplicate_idx on device
+    faces_dev: Any = None      # topology faces on device (for device rebin)
+    device_rebin_ok: bool = False  # spans fit the static device-bin bound
+    pending_occ: Any = None    # device occupancy scalar of the last rebin
+    rebin_fn: Any = None       # cached jitted device-rebin function
+    rebin_fn_cap: int = -1
 
 
-def _host_bins(renderer, v, topology, margin, cap=None):
+def _host_bins(renderer, v, topology, margin, cap=None, cull=False,
+               return_spans=False):
     """Host-side triangle binning for the current geometry (large-F path).
-    Returns ((bins, counts) device arrays, occupancy, cap, screen-xy)."""
+    The projection runs ON HOST from the (V, 3) vertices — fetching the
+    (C, V, 4) device NDC measured 1.8 s over the axon tunnel at 163k verts
+    vs 0.4 s for the host matmul.
+    Returns ((bins, counts) device arrays, occupancy, cap, screen-xy
+    [, spans])."""
     from ..render.pallas_core import bin_triangles_host, suggest_cap
-    from ..render.camera import project
-    v_ndc = np.asarray(project(jnp.asarray(v), renderer.mvps))
-    bins, counts, occ = bin_triangles_host(
-        v_ndc, topology.faces, renderer.res, cap=cap, margin=margin)
+    v_host = np.asarray(v, np.float32)
+    mvps = np.asarray(renderer.mvps)
+    vh = np.concatenate(
+        [v_host, np.ones((v_host.shape[0], 1), np.float32)], axis=1)
+    v_ndc = np.einsum("cij,vj->cvi", mvps, vh)
+    out = bin_triangles_host(
+        v_ndc, topology.faces, renderer.res, cap=cap, margin=margin,
+        cull=cull, return_spans=return_spans)
+    bins, counts, occ = out[:3]
     # pixel-space positions, kept to validate the margin-staleness contract
     # at the NEXT rebin (no vertex may move > ~margin/2 px inside a window)
     h, w = renderer.res
     safe_w = np.where(v_ndc[..., 3] == 0, 1.0, v_ndc[..., 3])
     sxy = np.stack([(v_ndc[..., 0] / safe_w + 1.0) * (w / 2.0),
                     (v_ndc[..., 1] / safe_w + 1.0) * (h / 2.0)], axis=-1)
-    return (jnp.asarray(bins), jnp.asarray(counts)), occ, bins.shape[-1], sxy
+    res = ((jnp.asarray(bins), jnp.asarray(counts)), occ, bins.shape[-1], sxy)
+    if return_spans:
+        return res + (out[3],)
+    return res
+
+
+def _sxy_device(renderer, v_ndc):
+    """Device (C, V, 2) pixel positions from device NDC."""
+    h, w = renderer.res
+    safe_w = jnp.where(v_ndc[..., 3] == 0, 1.0, v_ndc[..., 3])
+    return jnp.stack([(v_ndc[..., 0] / safe_w + 1.0) * (w / 2.0),
+                      (v_ndc[..., 1] / safe_w + 1.0) * (h / 2.0)], axis=-1)
+
+
+def _make_rebin_fn(renderer, p, cap):
+    """Jitted project → device-bin → sxy pipeline (one dispatch per rebin;
+    faces/mvps ride as device-array arguments)."""
+    from ..render.pallas_core import bin_triangles_device
+    from ..render.camera import project
+    res = renderer.res
+    margin = float(p["rebin_margin"])
+    cull = bool(p["cull_backfaces"])
+    h, w = res
+
+    @jax.jit
+    def fn(v_render, faces, mvps):
+        v_ndc = project(v_render, mvps)
+        bins, counts, occ = bin_triangles_device(
+            v_ndc, faces, res, cap, margin=margin, cull=cull)
+        safe_w = jnp.where(v_ndc[..., 3] == 0, 1.0, v_ndc[..., 3])
+        sxy = jnp.stack([(v_ndc[..., 0] / safe_w + 1.0) * (w / 2.0),
+                         (v_ndc[..., 1] / safe_w + 1.0) * (h / 2.0)],
+                        axis=-1)
+        return bins, counts, occ, sxy
+
+    return fn
+
+
+def _rebin_device(st: EpochState, p, renderer, v_render_dev):
+    """Recompute the bins ON DEVICE (pallas_core.bin_triangles_device) —
+    no host fetch, no tunnel upload (the host path measured ~20 s per rebin
+    at 163k verts: 7.9 s numpy + 12 s bins upload at ~3.6 MB/s)."""
+    if st.rebin_fn is None or st.rebin_fn_cap != st.bin_cap:
+        st.rebin_fn = _make_rebin_fn(renderer, p, st.bin_cap)
+        st.rebin_fn_cap = st.bin_cap
+    bins, counts, occ, sxy = st.rebin_fn(v_render_dev, st.faces_dev,
+                                         renderer.mvps)
+    st.bins = (bins, counts)
+    st.sxy_dev = sxy
+    st.pending_occ = occ          # device scalar; checked at the next rebin
+    return st
 
 
 def _rebin(st: EpochState, p, renderer, v_render):
@@ -133,10 +210,12 @@ def _rebin(st: EpochState, p, renderer, v_render):
     more than margin/2 px since the PREVIOUS rebin, that window's tiles may
     have silently under-drawn, so warn with the measured displacement."""
     bins, occ, cap, sxy = _host_bins(renderer, v_render, st.topology,
-                                     p["rebin_margin"], cap=st.bin_cap)
+                                     p["rebin_margin"], cap=st.bin_cap,
+                                     cull=p["cull_backfaces"])
     if occ > st.bin_cap:           # overflow: resize and re-bin (rare)
         bins, occ, cap, sxy = _host_bins(renderer, v_render, st.topology,
-                                         p["rebin_margin"], cap=None)
+                                         p["rebin_margin"], cap=None,
+                                         cull=p["cull_backfaces"])
         st.bin_cap = cap
     if st.last_sxy is not None and st.last_sxy.shape == sxy.shape:
         disp = float(np.max(np.abs(sxy - st.last_sxy)))
@@ -150,6 +229,12 @@ def _rebin(st: EpochState, p, renderer, v_render):
                 f"tiles — lower rebin_every or raise rebin_margin")
     st.last_sxy = sxy
     st.bins = bins
+    # keep the device-side bin-time positions in sync for the step's
+    # displacement scalar (cheap device recompute, not a 17 MB upload)
+    from ..render.camera import project
+    st.sxy_dev = _sxy_device(
+        renderer, project(jnp.asarray(np.asarray(v_render, np.float32)),
+                          renderer.mvps))
     return st
 
 
@@ -174,8 +259,22 @@ def _build_epoch(v_src, f_src, p, renderer):
     st.use_host_bins = (renderer.backend == "pallas"
                         and st.topology.n_faces >= int(p["host_bin_faces"]))
     if st.use_host_bins:
-        st.bins, occ, st.bin_cap, st.last_sxy = _host_bins(
-            renderer, v_src, st.topology, p["rebin_margin"])
+        st.bins, occ, st.bin_cap, st.last_sxy, spans = _host_bins(
+            renderer, v_src, st.topology, p["rebin_margin"],
+            cap=p.get("host_bin_cap"), cull=p["cull_backfaces"],
+            return_spans=True)
+        if occ > st.bin_cap:       # configured floor too small: resize
+            st.bins, occ, st.bin_cap, st.last_sxy, spans = _host_bins(
+                renderer, v_src, st.topology, p["rebin_margin"],
+                cull=p["cull_backfaces"], return_spans=True)
+        # mid-run rebins run ON DEVICE when the measured tile spans fit the
+        # static (2, 2) expansion bound of bin_triangles_device
+        st.device_rebin_ok = spans[0] <= 2 and spans[1] <= 2
+        st.dup_dev = jnp.asarray(st.duplicate_idx)
+        st.faces_dev = jnp.asarray(st.topology.faces)
+        from ..render.camera import project
+        st.sxy_dev = _sxy_device(
+            renderer, project(jnp.asarray(v_src), renderer.mvps))
     else:
         # size the raster bins for this epoch's geometry before the first
         # traced render: overflow would under-draw tiles silently (ADVICE r2)
@@ -199,6 +298,8 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
     reg = float(p["reg"])
     loss_kind = p["loss"]
     bilap = p["bilaplacian"]
+    track_disp = st.use_host_bins
+    h_res, w_res = renderer.res
 
     def forward(theta, guess_fwd, guess_bwd, solver, bins):
         if smooth:
@@ -210,7 +311,8 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
         n_unique = compute_vertex_normals(v_unique, f_unique, fn)
         n_opt = n_unique[dup]
         tr = theta["tr"] if use_tr else jnp.zeros((1, 3), v_opt.dtype)
-        imgs = renderer.render(tr + v_opt, n_opt, st.topology, bins=bins)
+        v_render = tr + v_opt
+        imgs = renderer.render(v_render, n_opt, st.topology, bins=bins)
         diff = imgs - ref_imgs
         im_loss = jnp.abs(diff).mean() if loss_kind == "l1" else jnp.square(diff).mean()
         Lv = coo_matvec(L, v_unique)
@@ -221,27 +323,44 @@ def _make_step(st: EpochState, p, renderer, ref_imgs, tx):
         loss = im_loss + reg * reg_loss
         # always log the bilaplacian magnitude, like main.py:200
         bilap_mag = jnp.square(jax.lax.stop_gradient(Lv)).mean()
-        return loss, (im_loss, bilap_mag, v_unique)
+        return loss, (im_loss, bilap_mag, v_unique,
+                      jax.lax.stop_gradient(v_render))
 
     @jax.jit
-    def jit_step(theta, opt_state, guess_fwd, guess_bwd, solver, bins):
+    def jit_step(theta, opt_state, guess_fwd, guess_bwd, solver, bins,
+                 sxy_bin):
         # the solver and bins ride in as ARGUMENTS so their device tables
         # stay device buffers — closed over, they would be baked into the
         # compiled program (fatal at 163k verts on the axon client)
-        (loss, (im_loss, bilap_mag, v_unique)), grads = jax.value_and_grad(
-            forward, has_aux=True
-        )(theta, guess_fwd, guess_bwd, solver, bins)
+        (loss, (im_loss, bilap_mag, v_unique, v_render)), grads = \
+            jax.value_and_grad(forward, has_aux=True)(
+                theta, guess_fwd, guess_bwd, solver, bins)
         if not use_tr:
             grads["tr"] = jnp.zeros_like(theta["tr"])
         updates, opt_state = tx.update(grads, opt_state, theta)
         theta = jax.tree.map(lambda a, b: a + b, theta, updates)
         new_guess_fwd = jax.lax.stop_gradient(v_unique)
         new_guess_bwd = grads["u"] if smooth else jnp.zeros_like(theta["u"])
-        return theta, opt_state, (im_loss, bilap_mag), new_guess_fwd, new_guess_bwd
+        if track_disp:
+            # max screen-space (px) displacement vs the bin-time positions:
+            # the host polls this (lazily) to trigger rebins exactly when
+            # the margin-staleness contract is about to break
+            from ..render.camera import project
+            v_ndc = project(v_render, renderer.mvps)
+            safe_w = jnp.where(v_ndc[..., 3] == 0, 1.0, v_ndc[..., 3])
+            sxy = jnp.stack(
+                [(v_ndc[..., 0] / safe_w + 1.0) * (w_res / 2.0),
+                 (v_ndc[..., 1] / safe_w + 1.0) * (h_res / 2.0)], axis=-1)
+            disp = jnp.abs(sxy - sxy_bin).max()
+        else:
+            disp = jnp.float32(0.0)
+        return (theta, opt_state, (im_loss, bilap_mag), new_guess_fwd,
+                new_guess_bwd, disp)
 
     def step(theta, opt_state, guess_fwd, guess_bwd):
+        sxy = st.sxy_dev if track_disp else jnp.zeros((), jnp.float32)
         return jit_step(theta, opt_state, guess_fwd, guess_bwd, solver,
-                        st.bins)
+                        st.bins, sxy)
 
     return step
 
@@ -372,6 +491,8 @@ def optimize_shape(scene, params=None):
     }
 
     it = start_it
+    last_rebin_it = start_it
+    last_disp = None
     prof = {"rebin_s": 0.0, "rebin_n": 0, "first_step_s": 0.0,
             "setup_s": time.perf_counter() - t_setup0}
     t0 = time.perf_counter()
@@ -413,26 +534,63 @@ def optimize_shape(scene, params=None):
             guess_fwd = jnp.asarray(st.v_unique)
             guess_bwd = jnp.zeros_like(guess_fwd)
             step = _make_step(st, p, renderer, ref_imgs, tx)
+            last_rebin_it = it
+            last_disp = None
             if remesh_schedule:
                 remesh_it = remesh_schedule.pop(0)
             else:
                 remesh_it = -1
 
-        if st.use_host_bins and p["rebin_every"] and it > start_it \
-                and (it - start_it) % int(p["rebin_every"]) == 0:
-            # refresh the margin-expanded host bins for the moved geometry;
-            # doubles as the mid-epoch occupancy/overflow re-check
-            t_rb = time.perf_counter()
-            tr_np = np.asarray(theta["tr"]) if p["use_tr"] else 0.0
-            v_render = np.asarray(guess_fwd)[st.duplicate_idx] + tr_np
-            st = _rebin(st, p, renderer, v_render)
-            prof["rebin_s"] += time.perf_counter() - t_rb
-            prof["rebin_n"] += 1
+        if st.use_host_bins and it > start_it:
+            # rebin when due: at the max interval (rebin_every), or as soon
+            # as the measured screen displacement since bin time crosses
+            # margin/2 (the step emits that scalar; poll it WITHOUT forcing
+            # a device sync — .is_ready() — so the async pipeline stays full)
+            due = bool(p["rebin_every"]) and \
+                (it - last_rebin_it) >= int(p["rebin_every"])
+            if not due and p["rebin_auto"] and last_disp is not None:
+                try:
+                    ready = last_disp.is_ready()
+                except Exception:
+                    ready = True
+                if ready:
+                    d = float(last_disp)
+                    st.max_window_disp = max(st.max_window_disp, d)
+                    due = d > 0.5 * float(p["rebin_margin"])
+            if due:
+                t_rb = time.perf_counter()
+                grow = False
+                if st.device_rebin_ok and st.pending_occ is not None:
+                    # occupancy of the PREVIOUS device rebin (long since
+                    # executed): grow the cap through the host path if the
+                    # last window truncated
+                    occ_prev = float(np.asarray(st.pending_occ))
+                    if occ_prev > st.bin_cap:
+                        import warnings
+                        warnings.warn(
+                            f"bin occupancy {int(occ_prev)} exceeded cap "
+                            f"{st.bin_cap} during the last window; growing")
+                        grow = True
+                if st.device_rebin_ok and not grow:
+                    tr_dev = theta["tr"] if p["use_tr"] else 0.0
+                    st = _rebin_device(st, p, renderer,
+                                       guess_fwd[st.dup_dev] + tr_dev)
+                else:
+                    tr_np = np.asarray(theta["tr"]) if p["use_tr"] else 0.0
+                    v_render = np.asarray(guess_fwd)[st.duplicate_idx] + tr_np
+                    st = _rebin(st, p, renderer, v_render)
+                    st.pending_occ = None
+                last_rebin_it = it
+                last_disp = None
+                prof["rebin_s"] += time.perf_counter() - t_rb
+                prof["rebin_n"] += 1
 
         t_st = time.perf_counter() if it == start_it else 0.0
-        theta, opt_state, losses, guess_fwd, guess_bwd = step(
+        theta, opt_state, losses, guess_fwd, guess_bwd, disp = step(
             theta, opt_state, guess_fwd, guess_bwd
         )
+        if st.use_host_bins:
+            last_disp = disp
         if it == start_it:
             # first step = trace + compile (+ one execution); recorded so
             # sustained-throughput numbers can separate compile from run

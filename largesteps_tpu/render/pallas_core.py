@@ -242,7 +242,8 @@ def bin_triangles(rec_fwd, v_clip, faces, height, width, cap,
     return bins.reshape(ty * tx, cap), counts.reshape(ty * tx)
 
 
-def setup_from_bins(v_clip, faces, attrs, opp, bins, height, width):
+def setup_from_bins(v_clip, faces, attrs, opp, bins, height, width,
+                    need_fwd=True):
     """Per-triangle setup + binned-record gather for one camera.
 
     The large-F path: build (F, 32) records in face-major order (the same
@@ -252,25 +253,28 @@ def setup_from_bins(v_clip, faces, attrs, opp, bins, height, width):
     dims to (8, 128) — a 42× memory blowup at 327k faces.
 
     v_clip (V, 4); bins (T, cap) int32 with -1 = dead slot.  Returns
-    (rfb (T, cap, 32), rbb (T, cap, 32)).
+    (rfb (T, cap, 32), rbb (T, cap, 32)); ``need_fwd=False`` skips the
+    forward-record gather entirely (the backward pass only needs rbb —
+    saves one (T·cap, 32) gather, ~17 ms/camera at 163k verts).
     """
     T, cap = bins.shape
     rec_fwd, rec_bwd = triangle_setup(v_clip, faces, attrs, opp,
                                       height, width)
     safe = jnp.maximum(bins, 0)
     live = (bins >= 0)[..., None]
-    rfb = jnp.where(live, rec_fwd[safe], 0.0)
     rbb = jnp.where(live, rec_bwd[safe], 0.0)
-    # padded slots: empty y-range so they can't poison the forward
-    # kernel's chunk-level band-bbox test (a zeroed row reads as y=0)
-    dead = bins < 0
-    rfb = rfb.at[..., 12].set(jnp.where(dead, 1e9, rfb[..., 12]))
-    rfb = rfb.at[..., 13].set(jnp.where(dead, -1e9, rfb[..., 13]))
+    if not need_fwd:
+        return None, rbb
+    # padded slots select a constant dead row whose y-range is EMPTY so
+    # they can't poison the forward kernel's chunk-level band-bbox test
+    # (a zeroed row reads as y=0); one fused where, no extra .at passes
+    dead_row = jnp.zeros((32,), jnp.float32).at[12].set(1e9).at[13].set(-1e9)
+    rfb = jnp.where(live, rec_fwd[safe], dead_row)
     return rfb, rbb
 
 
 def bin_triangles_host(v_ndc, faces, resolution, cap=None, margin=0.0,
-                       chunk=8):
+                       chunk=8, cull=False, return_spans=False):
     """Host (numpy) binning for ALL cameras — the large-F regime.
 
     The traced overlap-matrix binning costs O(T·F) memory and T argsorts of
@@ -309,7 +313,15 @@ def bin_triangles_host(v_ndc, faces, resolution, cap=None, margin=0.0,
         sy.append(vy[:, idx] / w)
     area = (sx[1] - sx[0]) * (sy[2] - sy[0]) \
         - (sy[1] - sy[0]) * (sx[2] - sx[0])
-    valid &= np.abs(area) >= 1e-12
+    if cull:
+        # closed-mesh back-face cull: a back-facing triangle never wins the
+        # z-test, so dropping it from the bins halves occupancy without
+        # changing the image (see bin_triangles_device + the parity test).
+        # Front faces have POSITIVE screen-space area under the negated-x
+        # Mitsuba projection (verified by test_backface_cull_image_parity).
+        valid &= area > 0.0
+    else:
+        valid &= np.abs(area) >= 1e-12
     exp = 1.0 + margin                           # 1px AA expansion + margin
     xmin = (np.minimum(np.minimum(sx[0], sx[1]), sx[2]) + 1.0) \
         * (width / 2.0) - 0.5 - exp
@@ -370,7 +382,103 @@ def bin_triangles_host(v_ndc, faces, resolution, cap=None, margin=0.0,
     bins = np.full((C * T, cap), -1, np.int32)
     bins[key_s[keep], pos[keep]] = face_s[keep]
     counts = np.minimum(counts, cap).astype(np.int32)
-    return (bins.reshape(C, T, cap), counts.reshape(C, T), occ)
+    out = (bins.reshape(C, T, cap), counts.reshape(C, T), occ)
+    if return_spans:
+        return out + ((span_y, span_x),)
+    return out
+
+
+def bin_triangles_device(v_ndc, faces, resolution, cap, margin=0.0,
+                         span=(2, 2), cull=False):
+    """Device-side binning for ALL cameras (the large-F REBIN path).
+
+    The host path (:func:`bin_triangles_host`) measured 7.9 s of numpy plus
+    a 12 s bins upload over the axon tunnel (~3.6 MB/s) per rebin at 327k
+    faces — 20 s of dead time every rebin window.  On device the same
+    computation is ONE argsort per camera over statically-expanded
+    (face, tile) entries: each face emits ``span_y·span_x`` candidate tile
+    slots from its clipped bbox tile range (tiny triangles at the ≥100k-face
+    scale span 1-2 tiles; the driver validates the static span bound at
+    epoch build and falls back to host binning if exceeded), the entries are
+    sorted by a combined (tile, ymin) key — preserving the y-coherence the
+    forward kernel's band skip relies on — and scattered into the
+    fixed-capacity bins.  ~17M key-sorts per 13-camera rebin, entirely on
+    device: no host fetch, no tunnel upload.
+
+    v_ndc (C, V, 4) device array.  Returns (bins (C, T, cap) int32 with -1
+    padding, counts (C, T) int32, occ (scalar device array — fetch lazily)).
+    With ``cull=True`` screen-space back-facing triangles are dropped
+    (valid for closed meshes where a backface never wins the z-test).
+    """
+    height, width = resolution
+    ty_n, tx_n = height // TILE_H, width // TILE_W
+    T = ty_n * tx_n
+    faces = jnp.asarray(faces)
+    F = faces.shape[0]
+    span_y, span_x = span
+    K = span_y * span_x
+
+    def per_cam(vc):
+        tri = vc[faces]                                   # (F, 3, 4)
+        w = tri[..., 3]
+        safe_w = jnp.where(w == 0, 1.0, w)
+        iw = 1.0 / safe_w
+        sx = tri[..., 0] * iw
+        sy = tri[..., 1] * iw
+        valid = jnp.all(w > 1e-9, axis=1)
+        area = ((sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0])
+                - (sy[:, 1] - sy[:, 0]) * (sx[:, 2] - sx[:, 0]))
+        if cull:
+            # front faces have POSITIVE screen-space area under the
+            # negated-x Mitsuba projection (test_backface_cull_image_parity)
+            valid &= area > 0.0
+        else:
+            valid &= jnp.abs(area) >= 1e-12
+        exp = 1.0 + margin
+        xmin = (jnp.min(sx, axis=1) + 1.0) * (width / 2.0) - 0.5 - exp
+        xmax = (jnp.max(sx, axis=1) + 1.0) * (width / 2.0) - 0.5 + exp
+        ymin = (jnp.min(sy, axis=1) + 1.0) * (height / 2.0) - 0.5 - exp
+        ymax = (jnp.max(sy, axis=1) + 1.0) * (height / 2.0) - 0.5 + exp
+        valid &= (xmax >= 0) & (ymax >= 0) \
+            & (xmin <= width - 1) & (ymin <= height - 1)
+        jlo = jnp.clip(jnp.floor(xmin).astype(jnp.int32) // TILE_W, 0, tx_n - 1)
+        jhi = jnp.clip(jnp.floor(xmax).astype(jnp.int32) // TILE_W, 0, tx_n - 1)
+        ilo = jnp.clip(jnp.floor(ymin).astype(jnp.int32) // TILE_H, 0, ty_n - 1)
+        ihi = jnp.clip(jnp.floor(ymax).astype(jnp.int32) // TILE_H, 0, ty_n - 1)
+        yq = jnp.clip(ymin.astype(jnp.int32), 0, 4095)
+
+        keys, fids = [], []
+        fidx = jnp.arange(F, dtype=jnp.int32)
+        for dy in range(span_y):
+            for dx in range(span_x):
+                ti = ilo + dy
+                tj = jlo + dx
+                live = valid & (ti <= ihi) & (tj <= jhi)
+                tile = ti * tx_n + tj
+                # combined sort key: (tile, quantized ymin); dead -> T·4096
+                key = jnp.where(live, tile * 4096 + yq, T * 4096)
+                keys.append(key)
+                fids.append(fidx)
+        key = jnp.concatenate(keys)                        # (K·F,)
+        fid = jnp.concatenate(fids)
+        order = jnp.argsort(key)                           # stable not needed
+        key_s = key[order]
+        tile_s = key_s // 4096                             # T for dead
+        fid_s = fid[order]
+        ones = (tile_s < T).astype(jnp.int32)
+        counts = jax.ops.segment_sum(ones, tile_s, num_segments=T + 1,
+                                     indices_are_sorted=True)[:T]
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+        pos = jnp.arange(K * F, dtype=jnp.int32) - starts[jnp.minimum(tile_s, T)]
+        keep = (tile_s < T) & (pos < cap)
+        lin = jnp.where(keep, tile_s * cap + pos, T * cap)
+        bins = jnp.full(T * cap + 1, -1, jnp.int32).at[lin].set(
+            jnp.where(keep, fid_s, -1), mode="drop")[:T * cap]
+        return bins.reshape(T, cap), jnp.minimum(counts, cap), counts.max()
+
+    bins, counts, occs = jax.vmap(per_cam)(v_ndc)
+    return bins, counts, occs.max()
 
 
 def suggest_cap(max_count: int, chunk: int = 8) -> int:
@@ -972,7 +1080,9 @@ def _setup_and_bin(v_clip, faces, attrs, opp, height, width, cap,
 
 def _chain_planes(dslot, dslot_aa, boost, rbb):
     """Planar chain-to-clip: per-slot screen-space sums -> a corner-major
-    (..., cap, 21) gradient table [per corner: dx dy dz dw dA0 dA1 dA2].
+    (..., cap, 18) gradient table [per corner: dx dy dw dA0 dA1 dA2]
+    (dz is identically zero and is reassembled by the scatter stage —
+    carrying the zero plane cost 14% of this stage's traffic).
 
     Replaces the stacked chain-to-clip + boost combine + dclip/dA concat, but every intermediate is a (..., cap) PLANE: the stacked
     (..., cap, 3, 4) form tile-pads its trailing dims to (8, 128) — a 42×
@@ -985,7 +1095,6 @@ def _chain_planes(dslot, dslot_aa, boost, rbb):
     sx = [rbb[..., 9 + 2 * k] for k in range(3)]
     sy = [rbb[..., 10 + 2 * k] for k in range(3)]
     planes = []
-    zero = jnp.zeros_like(iw[0])
     for k in range(3):
         dsx = dslot[..., 2 * k]
         dsy = dslot[..., 2 * k + 1]
@@ -994,11 +1103,11 @@ def _chain_planes(dslot, dslot_aa, boost, rbb):
             dsy = dsy + boost * dslot_aa[..., 2 * k + 1]
         diw = dslot[..., 6 + k]
         # sx = x/w => dx = dsx*iw, dw = -iw^2*diw - iw*(dsx*sx + dsy*sy)
-        planes += [dsx * iw[k], dsy * iw[k], zero,
+        planes += [dsx * iw[k], dsy * iw[k],
                    -iw[k] * iw[k] * diw - iw[k] * (dsx * sx[k] + dsy * sy[k]),
                    dslot[..., 9 + 3 * k], dslot[..., 10 + 3 * k],
                    dslot[..., 11 + 3 * k]]
-    return jnp.stack(planes, axis=-1)            # (..., cap, 21)
+    return jnp.stack(planes, axis=-1)            # (..., cap, 18)
 
 
 def build_incidence(faces, n_verts):
@@ -1023,7 +1132,7 @@ def build_incidence(faces, n_verts):
     return idx, valid
 
 
-def _scatter_via_faces(table21, bins, incidence, n_faces, n_verts):
+def _scatter_via_faces(table18, bins, incidence, n_faces, n_verts):
     """Slot grads -> vertex grads through a per-face table.
 
     TPU rationale: one segment_sum over the (C·tiles·cap) slot entries
@@ -1032,24 +1141,27 @@ def _scatter_via_faces(table21, bins, incidence, n_faces, n_verts):
     original triple-width dynamic scatter, whose XLA lowering dominated the
     backward (measured ~9 ms of a 43 ms step at 13×256²).
 
-    table21 (C,TY,TX,cap,21) corner-major gradient table from
-    :func:`_chain_planes`; bins (C,TY,TX,cap).
+    table18 (C,TY,TX,cap,18) corner-major gradient table from
+    :func:`_chain_planes` ([dx dy dw dA0 dA1 dA2] per corner; dz ≡ 0 is
+    reassembled here); bins (C,TY,TX,cap).
     Returns (dv_clip (C, V, 4), d_attrs (V, 3))."""
     idx, mask = incidence
-    C = table21.shape[0]
+    C = table18.shape[0]
     F = n_faces
-    table = table21.reshape(C, -1, 21)
+    table = table18.reshape(C, -1, 18)
     ids = jnp.where(bins >= 0, bins, F).reshape(C, -1)
     dface = jax.vmap(
         lambda t, i: jax.ops.segment_sum(t, i, num_segments=F + 1)
-    )(table, ids)                                          # (C, F+1, 21)
-    per_corner = dface.reshape(C, (F + 1) * 3, 7)
+    )(table, ids)                                          # (C, F+1, 18)
+    per_corner = dface.reshape(C, (F + 1) * 3, 6)
     idxj = jnp.asarray(idx.reshape(-1))
     gathered = jax.vmap(lambda d: jnp.take(d, idxj, axis=0))(per_corner)
-    gathered = gathered.reshape(C, *idx.shape, 7)
+    gathered = gathered.reshape(C, *idx.shape, 6)
     gathered = gathered * jnp.asarray(mask, gathered.dtype)[None, :, :, None]
-    dv = gathered.sum(axis=2)                              # (C, V, 7)
-    return dv[..., :4], dv[..., 4:7].sum(axis=0)
+    dv = gathered.sum(axis=2)                              # (C, V, 6)
+    zeros = jnp.zeros_like(dv[..., :1])
+    dv_clip = jnp.concatenate([dv[..., 0:2], zeros, dv[..., 2:3]], axis=-1)
+    return dv_clip, dv[..., 3:6].sum(axis=0)
 
 
 def _scatter_to_vertices(dclip, dA, bins, faces, n_verts, segment_fn=None):
@@ -1125,8 +1237,8 @@ def make_render_core(faces, opp, resolution, cap=768, chunk=8):
         dslot = raster_bwd_pallas(rbb, counts, slot, d_color,
                                   d_rast[..., 0], d_rast[..., 1],
                                   resolution, cap, chunk)
-        table21 = _chain_planes(dslot, None, 0.0, rbb)
-        dv_clip, d_attrs = _scatter_via_faces(table21, bins, _inc(n_verts),
+        table18 = _chain_planes(dslot, None, 0.0, rbb)
+        dv_clip, d_attrs = _scatter_via_faces(table18, bins, _inc(n_verts),
                                               fj.shape[0], n_verts)
         return dv_clip, d_attrs
 
@@ -1739,13 +1851,13 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
                                       resolution, cap, row0=row0)
         # combine raster + (boosted) antialias screen-space sums and chain
         # to clip space in one planar pass
-        table21 = _chain_planes(dslot, dslot_aa, boost, rbb)
+        table18 = _chain_planes(dslot, dslot_aa, boost, rbb)
         if "scatter" in ablate:
             dv_clip = jnp.zeros((counts.shape[0], n_verts, 4), jnp.float32) \
-                + table21.sum() * 0
+                + table18.sum() * 0
             d_attrs = jnp.zeros((n_verts, 3), jnp.float32)
         else:
-            dv_clip, d_attrs = _scatter_via_faces(table21, bins,
+            dv_clip, d_attrs = _scatter_via_faces(table18, bins,
                                                   _inc(n_verts),
                                                   fj.shape[0], n_verts)
         # bg cotangent: comp = where(cov, col4, bg), so d_bg is d_comp over
@@ -1889,7 +2001,7 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
         def cam_bwd(t):
             vc1, bins1, counts1, slot1, fid1, z1, comp1, cov1, g1 = t
             _, rbb = setup_from_bins(vc1, fj, attrs, oj, bins1,
-                                     height, width)
+                                     height, width, need_fwd=False)
             rbb = rbb.reshape(1, ty, tx, cap, 32)
             c3 = counts1.reshape(1, ty, tx).astype(jnp.int32)
             d_comp, dslot_aa = aa_bwd_pallas(
@@ -1903,9 +2015,9 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
                                       jnp.zeros_like(fid1)[None],
                                       jnp.zeros_like(fid1)[None],
                                       resolution, cap, row0=row0)
-            table21 = _chain_planes(dslot, dslot_aa, boost, rbb)
+            table18 = _chain_planes(dslot, dslot_aa, boost, rbb)
             dv1, da1 = _scatter_via_faces(
-                table21, bins1.reshape(1, ty, tx, cap), _inc(n_verts),
+                table18, bins1.reshape(1, ty, tx, cap), _inc(n_verts),
                 fj.shape[0], n_verts)
             if shading:
                 d_bg1 = jnp.where(cov1, 0.0, d_comp[0])

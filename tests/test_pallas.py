@@ -84,6 +84,37 @@ def test_bwd_matches_autodiff(geo):
     assert float(jnp.max(jnp.abs(g1a - g2a))) < 1e-4 * sa
 
 
+def test_bwd_cancellation_tolerance(geo):
+    """Documents the accepted 2-term-bf16 backward tolerance (ADVICE r4):
+    ``_onehot_reduce`` splits per-pixel gradients into 2 bf16 terms
+    (~1.5e-5 relative each); a CONSTANT cotangent over a closed object is
+    the cancellation-heavy case — per-slot sums add many opposing-sign
+    contributions, so the error bound must be stated against the gradient
+    SCALE (max |g|), not element-wise relative.  Accepted: 2e-4 · max|g|."""
+    v, f, opp, renderer, v_ndc, attrs = geo
+    fj = jnp.asarray(f)
+
+    def loss_xla(vc, at):
+        rast = rasterize(vc, fj, (H, W), 128)
+        col = interpolate(at, rast, fj)
+        return col.sum() + rast[..., :2].sum()
+
+    core = pc.make_render_core(f, opp, (H, W), CAP)
+
+    def loss_pallas(vc, at):
+        rast, slot, col = core(vc, at)
+        return col.sum() + rast[..., :2].sum()
+
+    g1v, g1a = jax.grad(loss_xla, argnums=(0, 1))(v_ndc, attrs)
+    g2v, g2a = jax.grad(loss_pallas, argnums=(0, 1))(v_ndc, attrs)
+    sv = float(jnp.max(jnp.abs(g1v)))
+    err_v = float(jnp.max(jnp.abs(g1v - g2v)))
+    assert err_v < 2e-4 * sv, (err_v, sv)
+    sa = float(jnp.max(jnp.abs(g1a)))
+    err_a = float(jnp.max(jnp.abs(g1a - g2a)))
+    assert err_a < 2e-4 * sa, (err_a, sa)
+
+
 def test_antialias_matches_dense_oracle(geo):
     v, f, opp, renderer, v_ndc, attrs = geo
     fj = jnp.asarray(f)
