@@ -86,6 +86,14 @@ def default_params():
         "resume": None,        # path of a checkpoint to resume from
         "nan_check_every": 25, # steps between non-finite-loss divergence
                                # checks (host fetch; 0 disables)
+        "max_inflight": 8,     # host-bins path: max dispatched-not-executed
+                               # steps.  Unbounded async dispatch runs the
+                               # Python loop arbitrarily far ahead, so the
+                               # displacement-triggered rebins lag and the
+                               # stale-bin window silently under-draws
+                               # (measured 7× worse loss at suzanne scale);
+                               # a small bound keeps the device busy AND the
+                               # rebin trigger responsive
     }
 
 
@@ -142,17 +150,24 @@ def _host_bins(renderer, v, topology, margin, cap=None, cull=False,
     v_ndc = np.einsum("cij,vj->cvi", mvps, vh)
     out = bin_triangles_host(
         v_ndc, topology.faces, renderer.res, cap=cap, margin=margin,
-        cull=cull, return_spans=return_spans)
-    bins, counts, occ = out[:3]
+        cull=cull, return_spans=return_spans, return_slots=True)
+    bins, counts, fslots = out[0], out[1], out[2]
+    # pad the face→slot inverse to the device-binner's static K=4 span so
+    # pipe shapes stay stable when mid-run rebins move on device
+    if fslots.shape[-1] < 4:
+        T = bins.shape[1]
+        fslots = np.pad(fslots, ((0, 0), (0, 0), (0, 4 - fslots.shape[-1])),
+                        constant_values=T * bins.shape[-1])
     # pixel-space positions, kept to validate the margin-staleness contract
     # at the NEXT rebin (no vertex may move > ~margin/2 px inside a window)
     h, w = renderer.res
     safe_w = np.where(v_ndc[..., 3] == 0, 1.0, v_ndc[..., 3])
     sxy = np.stack([(v_ndc[..., 0] / safe_w + 1.0) * (w / 2.0),
                     (v_ndc[..., 1] / safe_w + 1.0) * (h / 2.0)], axis=-1)
-    res = ((jnp.asarray(bins), jnp.asarray(counts)), occ, bins.shape[-1], sxy)
+    res = ((jnp.asarray(bins), jnp.asarray(counts), jnp.asarray(fslots)),
+           out[3], bins.shape[-1], sxy)
     if return_spans:
-        return res + (out[3],)
+        return res + (out[4],)
     return res
 
 
@@ -177,13 +192,13 @@ def _make_rebin_fn(renderer, p, cap):
     @jax.jit
     def fn(v_render, faces, mvps):
         v_ndc = project(v_render, mvps)
-        bins, counts, occ = bin_triangles_device(
+        bins, counts, fslots, occ = bin_triangles_device(
             v_ndc, faces, res, cap, margin=margin, cull=cull)
         safe_w = jnp.where(v_ndc[..., 3] == 0, 1.0, v_ndc[..., 3])
         sxy = jnp.stack([(v_ndc[..., 0] / safe_w + 1.0) * (w / 2.0),
                          (v_ndc[..., 1] / safe_w + 1.0) * (h / 2.0)],
                         axis=-1)
-        return bins, counts, occ, sxy
+        return bins, counts, fslots, occ, sxy
 
     return fn
 
@@ -195,9 +210,9 @@ def _rebin_device(st: EpochState, p, renderer, v_render_dev):
     if st.rebin_fn is None or st.rebin_fn_cap != st.bin_cap:
         st.rebin_fn = _make_rebin_fn(renderer, p, st.bin_cap)
         st.rebin_fn_cap = st.bin_cap
-    bins, counts, occ, sxy = st.rebin_fn(v_render_dev, st.faces_dev,
-                                         renderer.mvps)
-    st.bins = (bins, counts)
+    bins, counts, fslots, occ, sxy = st.rebin_fn(v_render_dev, st.faces_dev,
+                                                 renderer.mvps)
+    st.bins = (bins, counts, fslots)
     st.sxy_dev = sxy
     st.pending_occ = occ          # device scalar; checked at the next rebin
     return st
@@ -217,6 +232,16 @@ def _rebin(st: EpochState, p, renderer, v_render):
                                          p["rebin_margin"], cap=None,
                                          cull=p["cull_backfaces"])
         st.bin_cap = cap
+    if st.bins is not None and len(st.bins) > 2 and st.bins[2] is not None:
+        # keep the face→slot K stable across host rebins (K shrinking would
+        # needlessly retrace the pipe; growth is a legitimate retrace)
+        k_old = int(st.bins[2].shape[-1])
+        k_new = int(bins[2].shape[-1])
+        if k_new < k_old and bins[0].shape == st.bins[0].shape:
+            sentinel = bins[0].shape[1] * bins[0].shape[-1]
+            fs = jnp.pad(bins[2], ((0, 0), (0, 0), (0, k_old - k_new)),
+                         constant_values=sentinel)
+            bins = (bins[0], bins[1], fs)
     if st.last_sxy is not None and st.last_sxy.shape == sxy.shape:
         disp = float(np.max(np.abs(sxy - st.last_sxy)))
         st.max_window_disp = max(st.max_window_disp, disp)
@@ -492,7 +517,9 @@ def optimize_shape(scene, params=None):
 
     it = start_it
     last_rebin_it = start_it
-    last_disp = None
+    from collections import deque
+    disp_q = deque()
+    inflight = deque()
     prof = {"rebin_s": 0.0, "rebin_n": 0, "first_step_s": 0.0,
             "setup_s": time.perf_counter() - t_setup0}
     t0 = time.perf_counter()
@@ -535,7 +562,7 @@ def optimize_shape(scene, params=None):
             guess_bwd = jnp.zeros_like(guess_fwd)
             step = _make_step(st, p, renderer, ref_imgs, tx)
             last_rebin_it = it
-            last_disp = None
+            disp_q.clear()
             if remesh_schedule:
                 remesh_it = remesh_schedule.pop(0)
             else:
@@ -548,29 +575,44 @@ def optimize_shape(scene, params=None):
             # a device sync — .is_ready() — so the async pipeline stays full)
             due = bool(p["rebin_every"]) and \
                 (it - last_rebin_it) >= int(p["rebin_every"])
-            if not due and p["rebin_auto"] and last_disp is not None:
-                try:
-                    ready = last_disp.is_ready()
-                except Exception:
-                    ready = True
-                if ready:
-                    d = float(last_disp)
+            if not due and p["rebin_auto"]:
+                # drain every displacement scalar that has EXECUTED (poll
+                # the FIFO head — the loop dispatches far ahead, so the
+                # latest step's scalar is chronically not-ready)
+                while disp_q:
+                    head = disp_q[0]
+                    try:
+                        ready = head.is_ready()
+                    except Exception:
+                        ready = True
+                    if not ready:
+                        break
+                    d = float(disp_q.popleft())
                     st.max_window_disp = max(st.max_window_disp, d)
-                    due = d > 0.5 * float(p["rebin_margin"])
+                    if d > 0.5 * float(p["rebin_margin"]):
+                        due = True
             if due:
                 t_rb = time.perf_counter()
                 grow = False
                 if st.device_rebin_ok and st.pending_occ is not None:
-                    # occupancy of the PREVIOUS device rebin (long since
-                    # executed): grow the cap through the host path if the
-                    # last window truncated
-                    occ_prev = float(np.asarray(st.pending_occ))
-                    if occ_prev > st.bin_cap:
-                        import warnings
-                        warnings.warn(
-                            f"bin occupancy {int(occ_prev)} exceeded cap "
-                            f"{st.bin_cap} during the last window; growing")
-                        grow = True
+                    # occupancy of a PREVIOUS device rebin: grow the cap
+                    # through the host path if a window truncated.  Poll
+                    # only — a blocking fetch here would drain the whole
+                    # dispatch pipeline every rebin
+                    try:
+                        occ_ready = st.pending_occ.is_ready()
+                    except Exception:
+                        occ_ready = True
+                    if occ_ready:
+                        occ_prev = float(np.asarray(st.pending_occ))
+                        st.pending_occ = None
+                        if occ_prev > st.bin_cap:
+                            import warnings
+                            warnings.warn(
+                                f"bin occupancy {int(occ_prev)} exceeded cap "
+                                f"{st.bin_cap} during the last window; "
+                                f"growing")
+                            grow = True
                 if st.device_rebin_ok and not grow:
                     tr_dev = theta["tr"] if p["use_tr"] else 0.0
                     st = _rebin_device(st, p, renderer,
@@ -581,7 +623,7 @@ def optimize_shape(scene, params=None):
                     st = _rebin(st, p, renderer, v_render)
                     st.pending_occ = None
                 last_rebin_it = it
-                last_disp = None
+                disp_q.clear()
                 prof["rebin_s"] += time.perf_counter() - t_rb
                 prof["rebin_n"] += 1
 
@@ -590,7 +632,10 @@ def optimize_shape(scene, params=None):
             theta, opt_state, guess_fwd, guess_bwd
         )
         if st.use_host_bins:
-            last_disp = disp
+            disp_q.append(disp)
+            inflight.append(losses[0])
+            if len(inflight) > int(p["max_inflight"]):
+                jax.block_until_ready(inflight.popleft())
         if it == start_it:
             # first step = trace + compile (+ one execution); recorded so
             # sustained-throughput numbers can separate compile from run

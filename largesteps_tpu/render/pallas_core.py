@@ -274,7 +274,8 @@ def setup_from_bins(v_clip, faces, attrs, opp, bins, height, width,
 
 
 def bin_triangles_host(v_ndc, faces, resolution, cap=None, margin=0.0,
-                       chunk=8, cull=False, return_spans=False):
+                       chunk=8, cull=False, return_spans=False,
+                       return_slots=False):
     """Host (numpy) binning for ALL cameras — the large-F regime.
 
     The traced overlap-matrix binning costs O(T·F) memory and T argsorts of
@@ -344,10 +345,11 @@ def bin_triangles_host(v_ndc, faces, resolution, cap=None, margin=0.0,
     span_y = int(np.max((ihi - ilo + 1) * valid, initial=1))
     span_x = int(np.max((jhi - jlo + 1) * valid, initial=1))
 
-    tile_ids, face_ids, cam_ids = [], [], []
+    tile_ids, face_ids, cam_ids, ent_ids = [], [], [], []
     F = faces.shape[0]
     fidx = np.broadcast_to(np.arange(F, dtype=np.int64), (C, F))
     cidx = np.broadcast_to(np.arange(C, dtype=np.int64)[:, None], (C, F))
+    cell = 0
     for dy in range(span_y):
         for dx in range(span_x):
             ti = ilo + dy
@@ -357,9 +359,14 @@ def bin_triangles_host(v_ndc, faces, resolution, cap=None, margin=0.0,
             tile_ids.append(t)
             face_ids.append(fidx[m])
             cam_ids.append(cidx[m])
+            # (cam, face, span-cell) identity of each entry, kept so the
+            # face→slot inverse can be scattered back after the sort
+            ent_ids.append((cidx[m] * F + fidx[m]) * (span_y * span_x) + cell)
+            cell += 1
     tile_id = np.concatenate(tile_ids)
     face_id = np.concatenate(face_ids)
     cam_id = np.concatenate(cam_ids)
+    ent_id = np.concatenate(ent_ids)
     key = cam_id * T + tile_id
     counts = np.bincount(key, minlength=C * T).reshape(C, T)
     occ = int(counts.max(initial=0))
@@ -383,6 +390,19 @@ def bin_triangles_host(v_ndc, faces, resolution, cap=None, margin=0.0,
     bins[key_s[keep], pos[keep]] = face_s[keep]
     counts = np.minimum(counts, cap).astype(np.int32)
     out = (bins.reshape(C, T, cap), counts.reshape(C, T), occ)
+    if return_slots:
+        # per-(cam, face) flat slot indices (sentinel T·cap), same contract
+        # as bin_triangles_device's face_slots
+        K = span_y * span_x
+        fslots = np.full((C, F + 1, K), T * cap, np.int32)
+        ent_s = ent_id[order]
+        fs_cam = (ent_s // K) // F
+        fs_face = (ent_s // K) % F
+        fs_cell = ent_s % K
+        flat = (key_s % T) * cap + pos
+        k3 = keep & (flat < T * cap)
+        fslots[fs_cam[k3], fs_face[k3], fs_cell[k3]] = flat[k3]
+        out = out[:2] + (fslots, occ)
     if return_spans:
         return out + ((span_y, span_x),)
     return out
@@ -406,7 +426,9 @@ def bin_triangles_device(v_ndc, faces, resolution, cap, margin=0.0,
     device: no host fetch, no tunnel upload.
 
     v_ndc (C, V, 4) device array.  Returns (bins (C, T, cap) int32 with -1
-    padding, counts (C, T) int32, occ (scalar device array — fetch lazily)).
+    padding, counts (C, T) int32, face_slots (C, F+1, span_y·span_x) int32
+    flat slot indices with sentinel T·cap — the inverse mapping consumed by
+    :func:`_scatter_via_slots`, occ (scalar device array — fetch lazily)).
     With ``cull=True`` screen-space back-facing triangles are dropped
     (valid for closed meshes where a backface never wins the z-test).
     """
@@ -461,7 +483,7 @@ def bin_triangles_device(v_ndc, faces, resolution, cap, margin=0.0,
                 fids.append(fidx)
         key = jnp.concatenate(keys)                        # (K·F,)
         fid = jnp.concatenate(fids)
-        order = jnp.argsort(key)                           # stable not needed
+        order = jnp.argsort(key)                           # stable (XLA sort)
         key_s = key[order]
         tile_s = key_s // 4096                             # T for dead
         fid_s = fid[order]
@@ -475,10 +497,21 @@ def bin_triangles_device(v_ndc, faces, resolution, cap, margin=0.0,
         lin = jnp.where(keep, tile_s * cap + pos, T * cap)
         bins = jnp.full(T * cap + 1, -1, jnp.int32).at[lin].set(
             jnp.where(keep, fid_s, -1), mode="drop")[:T * cap]
-        return bins.reshape(T, cap), jnp.minimum(counts, cap), counts.max()
+        # face→slot inverse for FREE: entry e of the pre-sort layout is
+        # (span-cell e//F, face e%F), so scattering each entry's flat slot
+        # back through `order` and reshaping (K, F) gives, per face, the K
+        # candidate slots it landed in (sentinel T·cap where dropped) —
+        # the backward's slot→face reduction then becomes a GATHER
+        # (TPU scatter rows measured ~8× slower than gather rows)
+        lin_e = jnp.full(K * F, T * cap, jnp.int32).at[order].set(lin)
+        fslots = jnp.concatenate(
+            [lin_e.reshape(K, F).T,
+             jnp.full((1, K), T * cap, jnp.int32)])        # (F+1, K)
+        return (bins.reshape(T, cap), jnp.minimum(counts, cap), fslots,
+                counts.max())
 
-    bins, counts, occs = jax.vmap(per_cam)(v_ndc)
-    return bins, counts, occs.max()
+    bins, counts, fslots, occs = jax.vmap(per_cam)(v_ndc)
+    return bins, counts, fslots, occs.max()
 
 
 def suggest_cap(max_count: int, chunk: int = 8) -> int:
@@ -1164,6 +1197,38 @@ def _scatter_via_faces(table18, bins, incidence, n_faces, n_verts):
     return dv_clip, dv[..., 3:6].sum(axis=0)
 
 
+def _scatter_via_slots(table18, fslots, incidence, n_verts):
+    """Slot grads -> vertex grads through the face→slot INVERSE mapping.
+
+    Replaces :func:`_scatter_via_faces`' slot→face ``segment_sum`` — an
+    848k-row scatter measured at 83 ms/camera at 163k verts — with a
+    (F+1)·K-row GATHER (~8× faster per row on TPU) using the ``face_slots``
+    table the binning produces for free (see bin_triangles_device).
+
+    table18 (C, TY, TX, cap, 18); fslots (C, F+1, K) flat slot indices with
+    sentinel T·cap.  Returns (dv_clip (C, V, 4), d_attrs (V, 3))."""
+    idx, mask = incidence
+    C = table18.shape[0]
+    table = table18.reshape(C, -1, 18)
+    # sentinel row: zeros
+    table = jnp.concatenate(
+        [table, jnp.zeros((C, 1, 18), table.dtype)], axis=1)
+    K = fslots.shape[-1]
+    Fp1 = fslots.shape[1]
+    gath = jax.vmap(lambda t, s: jnp.take(t, s.reshape(-1), axis=0))(
+        table, fslots)
+    dface = gath.reshape(C, Fp1, K, 18).sum(axis=2)        # (C, F+1, 18)
+    per_corner = dface.reshape(C, Fp1 * 3, 6)
+    idxj = jnp.asarray(idx.reshape(-1))
+    gathered = jax.vmap(lambda d: jnp.take(d, idxj, axis=0))(per_corner)
+    gathered = gathered.reshape(C, *idx.shape, 6)
+    gathered = gathered * jnp.asarray(mask, gathered.dtype)[None, :, :, None]
+    dv = gathered.sum(axis=2)                              # (C, V, 6)
+    zeros = jnp.zeros_like(dv[..., :1])
+    dv_clip = jnp.concatenate([dv[..., 0:2], zeros, dv[..., 2:3]], axis=-1)
+    return dv_clip, dv[..., 3:6].sum(axis=0)
+
+
 def _scatter_to_vertices(dclip, dA, bins, faces, n_verts, segment_fn=None):
     """Per-slot per-vertex grads -> (C, V, 4) clip grads and (V, 3) attr grads.
 
@@ -1723,7 +1788,7 @@ def _slice_bin_rows(bins, counts, r0t, ty_local, tx):
 
 def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
                          cap=768, ablate="", prebinned=False,
-                         row_shards=1, row_axis=None):
+                         row_shards=1, row_axis=None, slots_k=None):
     """Build the full fused render op for one topology epoch.
 
     Mirrors NVDRenderer.render (scripts/render.py:204-220): rasterize ->
@@ -1746,6 +1811,9 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
     (expensive at large F) traced binning is skipped: the driver computes
     bins on host every few steps with a bbox margin
     (:func:`bin_triangles_host`) and threads them in as device arguments.
+    With ``slots_k=K`` (prebinned, unsharded only) the signature gains a
+    trailing ``fslots (C, F+1, K)`` argument and the backward's slot→face
+    reduction runs as a gather (:func:`_scatter_via_slots`).
     """
     height, width = resolution
     # numpy (not jnp) closures: trace-safe — see make_render_core
@@ -1794,7 +1862,21 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
                None if bg is None else bg.shape)
         return out, res
 
-    if prebinned:
+    if prebinned and slots_k is not None:
+        if row_shards > 1:
+            raise ValueError("slots_k gather-scatter is unsharded-only")
+
+        @jax.custom_vjp
+        def pipe(v_clip, attrs, bg, bins, counts, fslots):
+            out, _ = pipe_fwd(v_clip, attrs, bg, bins, counts, fslots)
+            return out
+
+        def pipe_fwd(v_clip, attrs, bg, bins, counts, fslots):
+            rfb, rbb, bins4, counts3 = _setup_prebinned(
+                v_clip, fj, attrs, oj, bins, counts, height, width)
+            out, res = fwd_common(v_clip, attrs, bg, rfb, rbb, bins4, counts3)
+            return out, res + (bins.shape, counts.shape, fslots)
+    elif prebinned:
         @jax.custom_vjp
         def pipe(v_clip, attrs, bg, bins, counts):
             out, _ = pipe_fwd(v_clip, attrs, bg, bins, counts)
@@ -1856,6 +1938,9 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
             dv_clip = jnp.zeros((counts.shape[0], n_verts, 4), jnp.float32) \
                 + table18.sum() * 0
             d_attrs = jnp.zeros((n_verts, 3), jnp.float32)
+        elif prebinned and slots_k is not None:
+            dv_clip, d_attrs = _scatter_via_slots(table18, res[12],
+                                                  _inc(n_verts), n_verts)
         else:
             dv_clip, d_attrs = _scatter_via_faces(table18, bins,
                                                   _inc(n_verts),
@@ -1873,9 +1958,12 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
                 d_bg = d_bg.sum(axis=tuple(range(extra)))
         if prebinned:
             bins_shape, counts_shape = res[10], res[11]
-            return (dv_clip, d_attrs, d_bg,
-                    np.zeros(bins_shape, jax.dtypes.float0),
-                    np.zeros(counts_shape, jax.dtypes.float0))
+            zb = np.zeros(bins_shape, jax.dtypes.float0)
+            zc = np.zeros(counts_shape, jax.dtypes.float0)
+            if slots_k is not None:
+                return (dv_clip, d_attrs, d_bg, zb, zc,
+                        np.zeros(res[12].shape, jax.dtypes.float0))
+            return (dv_clip, d_attrs, d_bg, zb, zc)
         return dv_clip, d_attrs, d_bg
 
     pipe.defvjp(pipe_fwd, pipe_bwd)
@@ -1899,7 +1987,7 @@ def make_render_pipeline(faces, opp, resolution, shading=True, boost=1.0,
 
 def make_render_pipeline_big(faces, opp, resolution, shading=True,
                              boost=1.0, cap=8192, row_shards=1,
-                             row_axis=None):
+                             row_axis=None, slots_k=None):
     """Camera-sequential prebinned render op for the ≥100k-face regime.
 
     Same contract as ``make_render_pipeline(..., prebinned=True)``:
@@ -1958,12 +2046,28 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
                             row0=row0, halo=halo)
         return out[0], slot[0], fid[0], z[0], comp[0], cov[0]
 
-    @jax.custom_vjp
-    def pipe(v_clip, attrs, bg, bins, counts):
-        out, _ = pipe_fwd(v_clip, attrs, bg, bins, counts)
-        return out
+    if slots_k is not None:
+        if row_shards > 1:
+            raise ValueError("slots_k gather-scatter is unsharded-only")
 
-    def pipe_fwd(v_clip, attrs, bg, bins, counts):
+        @jax.custom_vjp
+        def pipe(v_clip, attrs, bg, bins, counts, fslots):
+            out, _ = pipe_fwd(v_clip, attrs, bg, bins, counts, fslots)
+            return out
+
+        def pipe_fwd(v_clip, attrs, bg, bins, counts, fslots):
+            out, res = _pipe_fwd_common(v_clip, attrs, bg, bins, counts)
+            return out, res + (fslots,)
+    else:
+        @jax.custom_vjp
+        def pipe(v_clip, attrs, bg, bins, counts):
+            out, _ = pipe_fwd(v_clip, attrs, bg, bins, counts)
+            return out
+
+        def pipe_fwd(v_clip, attrs, bg, bins, counts):
+            return _pipe_fwd_common(v_clip, attrs, bg, bins, counts)
+
+    def _pipe_fwd_common(v_clip, attrs, bg, bins, counts):
         row0 = _row_ctx()
         if row_shards > 1:
             bins_l, counts_l = _slice_bin_rows(
@@ -1989,7 +2093,8 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
 
     def pipe_bwd(res, g):
         (v_clip, attrs, bins, counts, slot, fid, z, comp, cov,
-         bg_shape) = res
+         bg_shape) = res[:10]
+        fslots = res[10] if slots_k is not None else None
         n_verts = v_clip.shape[1]
         row0 = _row_ctx()
         if row_shards > 1:
@@ -1999,7 +2104,7 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
             bins_l, counts_l = bins, counts
 
         def cam_bwd(t):
-            vc1, bins1, counts1, slot1, fid1, z1, comp1, cov1, g1 = t
+            vc1, bins1, counts1, slot1, fid1, z1, comp1, cov1, g1, fs1 = t
             _, rbb = setup_from_bins(vc1, fj, attrs, oj, bins1,
                                      height, width, need_fwd=False)
             rbb = rbb.reshape(1, ty, tx, cap, 32)
@@ -2016,9 +2121,13 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
                                       jnp.zeros_like(fid1)[None],
                                       resolution, cap, row0=row0)
             table18 = _chain_planes(dslot, dslot_aa, boost, rbb)
-            dv1, da1 = _scatter_via_faces(
-                table18, bins1.reshape(1, ty, tx, cap), _inc(n_verts),
-                fj.shape[0], n_verts)
+            if fs1 is not None:
+                dv1, da1 = _scatter_via_slots(table18, fs1[None],
+                                              _inc(n_verts), n_verts)
+            else:
+                dv1, da1 = _scatter_via_faces(
+                    table18, bins1.reshape(1, ty, tx, cap), _inc(n_verts),
+                    fj.shape[0], n_verts)
             if shading:
                 d_bg1 = jnp.where(cov1, 0.0, d_comp[0])
             else:
@@ -2026,7 +2135,8 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
             return dv1[0], da1, d_bg1
 
         per_cam = [cam_bwd((v_clip[i], bins_l[i], counts_l[i], slot[i],
-                            fid[i], z[i], comp[i], cov[i], g[i]))
+                            fid[i], z[i], comp[i], cov[i], g[i],
+                            None if fslots is None else fslots[i]))
                    for i in range(v_clip.shape[0])]
         dv, da, dbg = (jnp.stack([p[k] for p in per_cam]) for k in range(3))
         d_attrs = da.sum(axis=0)
@@ -2037,9 +2147,12 @@ def make_render_pipeline_big(faces, opp, resolution, shading=True,
             extra = d_bg.ndim - len(bg_shape)
             if extra:
                 d_bg = d_bg.sum(axis=tuple(range(extra)))
-        return (dv, d_attrs, d_bg,
+        outs = (dv, d_attrs, d_bg,
                 np.zeros(bins.shape, jax.dtypes.float0),
                 np.zeros(counts.shape, jax.dtypes.float0))
+        if slots_k is not None:
+            outs = outs + (np.zeros(fslots.shape, jax.dtypes.float0),)
+        return outs
 
     pipe.defvjp(pipe_fwd, pipe_bwd)
     return pipe

@@ -174,7 +174,15 @@ class Renderer:
             prebinned = bins is not None
             rs = getattr(self, "row_shards", 1) if self.mesh is not None else 1
             cap = int(bins[0].shape[-1]) if prebinned else self.bin_cap
-            key = (self.res, self.shading, self.boost, cap, prebinned, rs)
+            # face_slots (3rd bins element): gather-based backward scatter —
+            # unsharded pipes only (sharded paths keep the segsum scatter)
+            fslots = None
+            if prebinned and len(bins) > 2 and bins[2] is not None \
+                    and rs == 1 and self.mesh is None:
+                fslots = jnp.asarray(bins[2])
+            slots_k = None if fslots is None else int(fslots.shape[-1])
+            key = (self.res, self.shading, self.boost, cap, prebinned, rs,
+                   slots_k)
             pipe = topology._pipe_cache.get(key)
             if pipe is None:
                 from .pallas_core import (make_render_pipeline,
@@ -187,21 +195,25 @@ class Renderer:
                     pipe = make_render_pipeline_big(
                         topology.faces, topology.opp, self.res,
                         shading=self.shading, boost=self.boost, cap=cap,
-                        row_shards=rs, row_axis="sp" if rs > 1 else None)
+                        row_shards=rs, row_axis="sp" if rs > 1 else None,
+                        slots_k=slots_k)
                 else:
                     pipe = make_render_pipeline(
                         topology.faces, topology.opp, self.res,
                         shading=self.shading, boost=self.boost, cap=cap,
                         prebinned=prebinned, row_shards=rs,
-                        row_axis="sp" if rs > 1 else None)
+                        row_axis="sp" if rs > 1 else None, slots_k=slots_k)
                 topology._pipe_cache[key] = pipe
             if self.shading:
                 attrs = sh_eval(self.sh_M, n) / np.pi   # (V, 3)
                 args = (v_ndc, attrs, self.bgs)
             else:
                 args = (v_ndc, jnp.ones_like(v), None)
-            extra = (jnp.asarray(bins[0]), jnp.asarray(bins[1])) \
-                if prebinned else ()
+            extra = ()
+            if prebinned:
+                extra = (jnp.asarray(bins[0]), jnp.asarray(bins[1]))
+                if fslots is not None:
+                    extra = extra + (fslots,)
             if self.mesh is None:
                 return pipe(*args, *extra)
             # SPMD: each device runs the fused kernels on its camera shard

@@ -45,15 +45,29 @@ def test_device_bins_match_host(scene):
     for margin in (0.0, 4.0):
         hb, hc, hocc = pc.bin_triangles_host(
             np.asarray(v_ndc), topo.faces, r.res, cap=1280, margin=margin)
-        db, dc, docc = jax.jit(
+        db, dc, dfs, docc = jax.jit(
             lambda vn: pc.bin_triangles_device(
                 vn, topo.faces, r.res, 1280, margin=margin)
         )(v_ndc)
-        db, dc = np.asarray(db), np.asarray(dc)
+        db, dc, dfs = np.asarray(db), np.asarray(dc), np.asarray(dfs)
         assert int(docc) == hocc
         np.testing.assert_array_equal(dc, hc)
         for a, b in zip(_bin_sets(db), _bin_sets(hb)):
             np.testing.assert_array_equal(a, b)
+        # face_slots is the exact inverse of bins: every live (tile, pos)
+        # slot appears exactly once among its face's K candidate slots
+        C, T, cap = db.shape
+        for c in range(C):
+            flat = db[c].reshape(-1)
+            live = np.flatnonzero(flat >= 0)
+            inv = np.full(T * cap, -1, np.int64)
+            fs = dfs[c]
+            rows = np.repeat(np.arange(fs.shape[0]), fs.shape[1])
+            vals = fs.reshape(-1)
+            sel = vals < T * cap
+            inv[vals[sel]] = rows[sel]
+            np.testing.assert_array_equal(inv[live], flat[live])
+            assert (inv[np.setdiff1d(np.arange(T * cap), live)] == -1).all()
 
 
 def test_device_bins_render_parity(scene):
@@ -65,8 +79,8 @@ def test_device_bins_render_parity(scene):
                                    prebinned=True)
     hb, hc, _ = pc.bin_triangles_host(np.asarray(v_ndc), topo.faces, r.res,
                                       cap=cap, margin=2.0)
-    db, dc, _ = pc.bin_triangles_device(v_ndc, topo.faces, r.res, cap,
-                                        margin=2.0)
+    db, dc, _, _ = pc.bin_triangles_device(v_ndc, topo.faces, r.res, cap,
+                                           margin=2.0)
     out_h = pipe(v_ndc, attrs, r.bgs, jnp.asarray(hb), jnp.asarray(hc))
     out_d = pipe(v_ndc, attrs, r.bgs, db, dc)
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_h),
@@ -82,10 +96,10 @@ def test_backface_cull_image_parity(scene):
     pipe = pc.make_render_pipeline(topo.faces, topo.opp, r.res,
                                    shading=True, boost=3.0, cap=cap,
                                    prebinned=True)
-    b0, c0, occ0 = pc.bin_triangles_device(v_ndc, topo.faces, r.res, cap,
-                                           margin=2.0, cull=False)
-    b1, c1, occ1 = pc.bin_triangles_device(v_ndc, topo.faces, r.res, cap,
-                                           margin=2.0, cull=True)
+    b0, c0, _, occ0 = pc.bin_triangles_device(v_ndc, topo.faces, r.res, cap,
+                                              margin=2.0, cull=False)
+    b1, c1, _, occ1 = pc.bin_triangles_device(v_ndc, topo.faces, r.res, cap,
+                                              margin=2.0, cull=True)
     assert int(occ1) < int(occ0) * 0.7
     out0 = np.asarray(pipe(v_ndc, attrs, r.bgs, b0, c0))
     out1 = np.asarray(pipe(v_ndc, attrs, r.bgs, b1, c1))

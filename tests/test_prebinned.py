@@ -128,6 +128,32 @@ def test_driver_host_bins_matches_traced():
                                rtol=1e-3, atol=1e-5)
 
 
+def test_slots_scatter_matches_segsum(scene):
+    """The gather-based backward scatter (face_slots inverse,
+    _scatter_via_slots) must produce identical gradients to the
+    segment_sum scatter, through both prebinned pipelines."""
+    r, topo, v_ndc, attrs = scene
+    cap = 1280
+    bins, counts, fslots, _ = pc.bin_triangles_device(
+        v_ndc, topo.faces, r.res, cap, margin=2.0)
+    K = int(fslots.shape[-1])
+    for maker, kw in ((pc.make_render_pipeline, {"prebinned": True}),
+                      (pc.make_render_pipeline_big, {})):
+        pipe_seg = maker(topo.faces, topo.opp, r.res, shading=True,
+                         boost=3.0, cap=cap, **kw)
+        pipe_sl = maker(topo.faces, topo.opp, r.res, shading=True,
+                        boost=3.0, cap=cap, slots_k=K, **kw)
+        out0, g0, ga0 = _run(pipe_seg, v_ndc, attrs, r.bgs, (bins, counts))
+        out1, g1, ga1 = _run(pipe_sl, v_ndc, attrs, r.bgs,
+                             (bins, counts, fslots))
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga0),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_big_pipeline_row_sharded_matches_single():
     """The large-F pipeline under shard_map with (dp, sp) BOTH > 1: cameras
     sharded over 'dp', image tile rows over 'sp' (in-graph bin-row slicing +
