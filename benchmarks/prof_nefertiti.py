@@ -22,7 +22,7 @@ def main(steps=40):
     scene = make_scene(source=("icosphere", 7), target=("gourd", 4),
                        n_views=13, res=256)
     p = {"steps": steps, "step_size": 0.05, "lambda": 19.0, "boost": 3,
-         "solver": "Cholesky", "cull_backfaces": True}
+         "solver": "Cholesky"}
 
     for tag in ("cold", "warm"):
         t0 = time.perf_counter()

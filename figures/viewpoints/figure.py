@@ -6,21 +6,28 @@ import plotting as pl
 
 if __name__ == "__main__":
     d = os.path.join(pl.OUTPUT_DIR, "viewpoints")
-    cams, dists = [], []
+    series = {"ours": {}, "reg": {}}
     if os.path.isdir(d):
         for f in sorted(os.listdir(d)):
             if f.startswith("views_") and f.endswith("_metrics.csv"):
-                cams.append(int(f.split("_")[1]))
-                dists.append(pl.read_metrics_csv(os.path.join(d, f))["hausdorff"])
-    if not cams:
-        pl.require([os.path.join(d, "views_1_metrics.csv")],
+                parts = f[:-len("_metrics.csv")].split("_")
+                n = int(parts[1])
+                method = parts[2] if len(parts) > 2 else "ours"
+                series.setdefault(method, {})[n] = pl.read_metrics_csv(
+                    os.path.join(d, f))["hausdorff"]
+    if not series["ours"]:
+        pl.require([os.path.join(d, "views_1_ours_metrics.csv")],
                    "figures/viewpoints/generate_data.py")
-    order = pl.np.argsort(cams)
-    cams = pl.np.asarray(cams)[order]
-    dists = pl.np.asarray(dists)[order]
 
     fig, ax = pl.plt.subplots(figsize=(4.6, 3.4))
-    ax.plot(cams, dists, color=pl.SERIES[0], marker="o", markersize=5)
+    for k, (method, pts) in enumerate(sorted(series.items())):
+        if not pts:
+            continue
+        cams = sorted(pts)
+        ax.plot(cams, [pts[c] for c in cams], color=pl.SERIES[k % len(pl.SERIES)],
+                marker="o", markersize=5, label=method)
+    ax.legend(frameon=False)
+    cams = sorted(series["ours"]) or [1]
     ax.set_xlabel("viewpoints")
     ax.set_ylabel("sym. Hausdorff")
     ax.set_xscale("log")

@@ -483,27 +483,35 @@ def bin_triangles_device(v_ndc, faces, resolution, cap, margin=0.0,
                 fids.append(fidx)
         key = jnp.concatenate(keys)                        # (K·F,)
         fid = jnp.concatenate(fids)
-        order = jnp.argsort(key)                           # stable (XLA sort)
-        key_s = key[order]
+        # ONE stable sort carrying (fid, entry-id) as payload — argsort +
+        # two post-gathers measured ~2× the cost at 17M entries
+        key_s, fid_s, order = jax.lax.sort(
+            (key, fid, jnp.arange(K * F, dtype=jnp.int32)), num_keys=1)
         tile_s = key_s // 4096                             # T for dead
-        fid_s = fid[order]
-        ones = (tile_s < T).astype(jnp.int32)
-        counts = jax.ops.segment_sum(ones, tile_s, num_segments=T + 1,
-                                     indices_are_sorted=True)[:T]
-        starts = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
-        pos = jnp.arange(K * F, dtype=jnp.int32) - starts[jnp.minimum(tile_s, T)]
-        keep = (tile_s < T) & (pos < cap)
-        lin = jnp.where(keep, tile_s * cap + pos, T * cap)
-        bins = jnp.full(T * cap + 1, -1, jnp.int32).at[lin].set(
-            jnp.where(keep, fid_s, -1), mode="drop")[:T * cap]
-        # face→slot inverse for FREE: entry e of the pre-sort layout is
-        # (span-cell e//F, face e%F), so scattering each entry's flat slot
-        # back through `order` and reshaping (K, F) gives, per face, the K
-        # candidate slots it landed in (sentinel T·cap where dropped) —
-        # the backward's slot→face reduction then becomes a GATHER
-        # (TPU scatter rows measured ~8× slower than gather rows)
-        lin_e = jnp.full(K * F, T * cap, jnp.int32).at[order].set(lin)
+        # per-tile starts/counts via searchsorted on the SORTED keys — a
+        # sorted segment_sum here measured ~1.2 s/rebin at 17M entries
+        starts = jnp.searchsorted(
+            key_s, jnp.arange(T + 1, dtype=jnp.int32) * 4096).astype(jnp.int32)
+        counts = starts[1:] - starts[:-1]
+        # GATHER-built bins (TPU scatter rows run ~8× slower than gather
+        # rows — a scatter fill here measured ~2.5 s/rebin at 327k faces):
+        # slot (t, p) holds the face at sorted position starts[t] + p
+        slot_t = jax.lax.broadcasted_iota(jnp.int32, (T, cap), 0)
+        slot_p = jax.lax.broadcasted_iota(jnp.int32, (T, cap), 1)
+        live = slot_p < jnp.minimum(counts, cap)[:, None]
+        src = jnp.minimum(starts[:T][:, None] + slot_p, K * F - 1)
+        bins = jnp.where(live, fid_s[src.reshape(-1)].reshape(T, cap), -1)
+        # face→slot inverse, also by gather: entry e of the PRE-SORT layout
+        # is (span-cell e//F, face e%F); its sorted position is
+        # inv_order[e], whose flat slot is tile·cap + (sortpos − starts).
+        # One extra argsort inverts the permutation; reshaping (K, F) then
+        # gives each face its K candidate slots (sentinel T·cap).
+        inv_order = jnp.argsort(order)
+        pos_sorted = jnp.arange(K * F, dtype=jnp.int32) \
+            - starts[jnp.minimum(tile_s, T)]
+        keep_s = (tile_s < T) & (pos_sorted < cap)
+        lin_sorted = jnp.where(keep_s, tile_s * cap + pos_sorted, T * cap)
+        lin_e = lin_sorted[inv_order]
         fslots = jnp.concatenate(
             [lin_e.reshape(K, F).T,
              jnp.full((1, K), T * cap, jnp.int32)])        # (F+1, K)
@@ -665,21 +673,37 @@ _UNROLL_CAP = 1024
 
 
 def _onehot_gather_ref(recT_ref, pre, slot_plane, count, facc):
-    """fori one-hot gather; recT_ref block (*pre, 32, cap)."""
+    """fori one-hot gather; recT_ref block (*pre, 32, cap).
+
+    BAND-WINDOWED: each 8-row pixel band gathers only the slot chunks in
+    its own [min, max] winner-slot window.  Bins are ymin-sorted, so a
+    band's winners live in a narrow contiguous slot range — this both
+    skips chunks outside the window AND shrinks every dot from
+    (·, P=4096) to (·, BAND_P=1024): ~4× fewer MXU FLOPs at large caps."""
     facc[...] = jnp.zeros(facc.shape, jnp.float32)
+    max_chunks = (count + _OH - 1) // _OH
+    for band in range(_BANDS):
+        sl = slice(band * _BAND_P, (band + 1) * _BAND_P)
+        sp = slot_plane[:, sl]                        # (1, BAND_P)
+        cov = sp >= 0
+        lo = jnp.min(jnp.where(cov, sp, jnp.int32(1 << 30)))
+        hi = jnp.max(jnp.where(cov, sp, jnp.int32(-1)))
+        c0 = lo // _OH
+        c1 = jnp.minimum(hi // _OH + 1, max_chunks)
 
-    def body(c, carry):
-        h = c * _OH
-        rec = recT_ref[pre[0], pre[1], pre[2], :, pl.ds(h, _OH)]   # (32, 128)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (_OH, _P), 0) + h
-        ohb = (iota == slot_plane).astype(jnp.bfloat16)
-        for t in _split3(rec):
-            facc[...] += jax.lax.dot_general(
-                t, ohb, ((((1,), (0,))), ((), ())),
-                preferred_element_type=jnp.float32)
-        return carry
+        def body(c, carry, sl=sl, sp=sp):
+            h = c * _OH
+            rec = recT_ref[pre[0], pre[1], pre[2], :, pl.ds(h, _OH)]
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (_OH, _BAND_P), 0) + h
+            ohb = (iota == sp).astype(jnp.bfloat16)
+            for t in _split3(rec):
+                facc[:, sl] += jax.lax.dot_general(
+                    t, ohb, ((((1,), (0,))), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return carry
 
-    jax.lax.fori_loop(0, (count + _OH - 1) // _OH, body, 0)
+        jax.lax.fori_loop(c0, c1, body, 0)
 
 
 def _onehot_reduce_out(out_ref, key_plane, G, count):
@@ -687,29 +711,44 @@ def _onehot_reduce_out(out_ref, key_plane, G, count):
     result chunks straight into the (1, 1, 1, cap, 32) output block (no
     (cap, 128) scratch — it would blow the scoped-VMEM budget at large
     caps).  Zero-initializes the whole block first (the tail rows past
-    ``count`` must not carry stale garbage)."""
+    ``count`` must not carry stale garbage).
+
+    BAND-WINDOWED like :func:`_onehot_gather_ref`: each 8-row band reduces
+    only its own winner-slot chunk window (accumulating read-modify-write —
+    bands run sequentially, and windows may overlap at chunk granularity)."""
     cap, ncols = out_ref.shape[-2], out_ref.shape[-1]
     out_ref[0, 0, 0] = jnp.zeros((cap, ncols), jnp.float32)
     q = G.shape[0]
     if q < 128:
         G = jnp.concatenate(
             [G, jnp.zeros((128 - q, G.shape[1]), jnp.float32)], axis=0)
-    terms = _split2(G)
     slot_iota_plane = key_plane.astype(jnp.int32)
+    max_chunks = (count + _OH - 1) // _OH
+    for band in range(_BANDS):
+        sl = slice(band * _BAND_P, (band + 1) * _BAND_P)
+        sp = slot_iota_plane[:, sl]
+        cov = sp >= 0
+        lo = jnp.min(jnp.where(cov, sp, jnp.int32(1 << 30)))
+        hi = jnp.max(jnp.where(cov, sp, jnp.int32(-1)))
+        c0 = lo // _OH
+        c1 = jnp.minimum(hi // _OH + 1, max_chunks)
+        terms = _split2(G[:, sl])
 
-    def body(c, carry):
-        h = c * _OH
-        iota = jax.lax.broadcasted_iota(jnp.int32, (_OH, _P), 0) + h
-        ohb = ((iota - slot_iota_plane) == 0).astype(jnp.bfloat16)
-        acc = None
-        for t in terms:
-            d = jax.lax.dot_general(ohb, t, ((((1,), (1,))), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
-        out_ref[0, 0, 0, pl.ds(h, _OH), :] = acc[:, :ncols]
-        return carry
+        def body(c, carry, sp=sp, terms=terms):
+            h = c * _OH
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (_OH, _BAND_P), 0) + h
+            ohb = ((iota - sp) == 0).astype(jnp.bfloat16)
+            acc = None
+            for t in terms:
+                d = jax.lax.dot_general(ohb, t, ((((1,), (1,))), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            out_ref[0, 0, 0, pl.ds(h, _OH), :] = (
+                out_ref[0, 0, 0, pl.ds(h, _OH), :] + acc[:, :ncols])
+            return carry
 
-    jax.lax.fori_loop(0, (count + _OH - 1) // _OH, body, 0)
+        jax.lax.fori_loop(c0, c1, body, 0)
 
 
 def _key_col(key_rows):
@@ -731,36 +770,65 @@ def _key_col(key_rows):
 
 
 def _onehot_gather_bykey_ref(recT_ref, pre, key_plane, count, facc,
-                             key_row=6):
+                             key_row=6, tbl=None, tile_y0=None):
     """fori bykey gather from a transposed record block (*pre, R, cap);
     per-slot keys come from record ROW ``key_row`` of the same block
     (slim layout: row 6 = fid), turned into a column by :func:`_key_col` —
     so the kernel needs no (cap, 32)-layout operand at all (27 MB of VMEM
-    per buffer at 163k-vertex caps)."""
+    per buffer at 163k-vertex caps).
+
+    BAND-WINDOWED when ``tbl`` is given: tbl (2, nch) carries per-chunk
+    [running-max ymax; min ymin] (pixel rows, monotone ymin from the
+    ymin-sorted bins, +BIG padding), so each 8-row pixel band loops only
+    over the chunk range whose y-span can reach it (owners may sit one
+    pixel outside the band — the stored bbox rows are already 1px
+    expanded).  Sound bounds: the running max makes the skipped prefix a
+    true prefix; min-ymin is monotone so the tail cut is exact."""
     facc[...] = jnp.zeros(facc.shape, jnp.float32)
+    max_chunks = (count + _OH - 1) // _OH
+    if tbl is None:
+        bands = [(slice(0, _P), jnp.int32(0), max_chunks)]
+    else:
+        run = tbl[0:1, :]
+        ymn = tbl[1:2, :]
+        bands = []
+        for band in range(_BANDS):
+            y0b = tile_y0 + band * 8.0
+            # ±2px slack: device bins sort by QUANTIZED ymin, so chunk
+            # minima are monotone only up to 1px; the stored rows are
+            # already 1px-expanded for the pair reach
+            c0 = jnp.sum((run < y0b - 2.0).astype(jnp.int32))
+            c1 = jnp.minimum(
+                jnp.sum((ymn <= y0b + 10.0).astype(jnp.int32)), max_chunks)
+            bands.append((slice(band * _BAND_P, (band + 1) * _BAND_P),
+                          c0, c1))
+    for sl, c0, c1 in bands:
+        kp = key_plane[:, sl]
 
-    def body(c, carry):
-        h = c * _OH
-        rec = recT_ref[pre[0], pre[1], pre[2], :, pl.ds(h, _OH)]
-        key_col = _key_col(rec[key_row:key_row + 8, :])            # (128, 1)
-        ohb = (key_col == key_plane).astype(jnp.bfloat16)
-        for t in _split3(rec):
-            facc[...] += jax.lax.dot_general(
-                t, ohb, ((((1,), (0,))), ((), ())),
-                preferred_element_type=jnp.float32)
-        return carry
+        def body(c, carry, sl=sl, kp=kp):
+            h = c * _OH
+            rec = recT_ref[pre[0], pre[1], pre[2], :, pl.ds(h, _OH)]
+            key_col = _key_col(rec[key_row:key_row + 8, :])        # (128, 1)
+            ohb = (key_col == kp).astype(jnp.bfloat16)
+            for t in _split3(rec):
+                facc[:, sl] += jax.lax.dot_general(
+                    t, ohb, ((((1,), (0,))), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return carry
 
-    jax.lax.fori_loop(0, (count + _OH - 1) // _OH, body, 0)
+        jax.lax.fori_loop(c0, c1, body, 0)
 
 
 def _onehot_reduce_bykey_add(out_ref, recT_ref, pre, key_plane, G, count,
-                             key_row=6, init: bool = False):
+                             key_row=6, init: bool = False, tbl=None,
+                             tile_y0=None):
     """fori one-hot reduce keyed by per-slot key VALUES (face ids, read
     from ROW ``key_row`` of the transposed record block via
     :func:`_key_col`), ACCUMULATED into the (1, 1, 1, cap, ncols) output
     block — lets the two AA pair directions share one output without
     (cap, 128) scratches.  Pass ``init=True`` on the first direction to
-    zero the block."""
+    zero the block.  BAND-WINDOWED via ``tbl``/``tile_y0`` exactly like
+    :func:`_onehot_gather_bykey_ref`."""
     cap, ncols = out_ref.shape[-2], out_ref.shape[-1]
     if init:
         out_ref[0, 0, 0] = jnp.zeros((cap, ncols), jnp.float32)
@@ -768,24 +836,43 @@ def _onehot_reduce_bykey_add(out_ref, recT_ref, pre, key_plane, G, count,
     if q < 128:
         G = jnp.concatenate(
             [G, jnp.zeros((128 - q, G.shape[1]), jnp.float32)], axis=0)
-    terms = _split2(G)
+    max_chunks = (count + _OH - 1) // _OH
+    if tbl is None:
+        bands = [(slice(0, _P), jnp.int32(0), max_chunks)]
+    else:
+        run = tbl[0:1, :]
+        ymn = tbl[1:2, :]
+        bands = []
+        for band in range(_BANDS):
+            y0b = tile_y0 + band * 8.0
+            # ±2px slack: device bins sort by QUANTIZED ymin, so chunk
+            # minima are monotone only up to 1px; the stored rows are
+            # already 1px-expanded for the pair reach
+            c0 = jnp.sum((run < y0b - 2.0).astype(jnp.int32))
+            c1 = jnp.minimum(
+                jnp.sum((ymn <= y0b + 10.0).astype(jnp.int32)), max_chunks)
+            bands.append((slice(band * _BAND_P, (band + 1) * _BAND_P),
+                          c0, c1))
+    for sl, c0, c1 in bands:
+        kp = key_plane[:, sl]
+        terms = _split2(G[:, sl])
 
-    def body(c, carry):
-        h = c * _OH
-        key_col = _key_col(
-            recT_ref[pre[0], pre[1], pre[2], key_row:key_row + 8,
-                     pl.ds(h, _OH)])
-        ohb = ((key_col - key_plane) == 0.0).astype(jnp.bfloat16)
-        acc = None
-        for t in terms:
-            d = jax.lax.dot_general(ohb, t, ((((1,), (1,))), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
-        out_ref[0, 0, 0, pl.ds(h, _OH), :] = (
-            out_ref[0, 0, 0, pl.ds(h, _OH), :] + acc[:, :ncols])
-        return carry
+        def body(c, carry, kp=kp, terms=terms):
+            h = c * _OH
+            key_col = _key_col(
+                recT_ref[pre[0], pre[1], pre[2], key_row:key_row + 8,
+                         pl.ds(h, _OH)])
+            ohb = ((key_col - kp) == 0.0).astype(jnp.bfloat16)
+            acc = None
+            for t in terms:
+                d = jax.lax.dot_general(ohb, t, ((((1,), (1,))), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            out_ref[0, 0, 0, pl.ds(h, _OH), :] = (
+                out_ref[0, 0, 0, pl.ds(h, _OH), :] + acc[:, :ncols])
+            return carry
 
-    jax.lax.fori_loop(0, (count + _OH - 1) // _OH, body, 0)
+        jax.lax.fori_loop(c0, c1, body, 0)
 
 
 def _fwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref, u_ref, v_ref, z_ref, fid_ref,
@@ -1342,16 +1429,39 @@ def _aa_fields(f):
 
 
 def _aa_slim_recT(rec_bwd_b):
-    """(C,TY,TX,cap,32) → slim transposed records (C,TY,TX,16,cap): the 10
+    """(C,TY,TX,cap,32) → slim transposed records (C,TY,TX,16,cap): the 12
     rec_bwd rows the AA kernels use — sx/sy ×3 (9..14), fid (22),
-    opp ×3 (23..25) — zero-padded to 16 sublanes.  Built from two
-    contiguous static slices (an index-array gather here lowers to a
-    per-element XLA gather and costs ~15 ms at 13×256²)."""
+    opp ×3 (23..25), ymin/ymax (26..27) — zero-padded to 16 sublanes.
+    Built from two contiguous static slices (an index-array gather here
+    lowers to a per-element XLA gather and costs ~15 ms at 13×256²)."""
     slim = jnp.concatenate(
-        [rec_bwd_b[..., 9:15], rec_bwd_b[..., 22:26]], axis=-1)
-    slimT = jnp.swapaxes(slim, -1, -2)                # (..., 10, cap)
-    pad = [(0, 0)] * (slimT.ndim - 2) + [(0, 6), (0, 0)]
+        [rec_bwd_b[..., 9:15], rec_bwd_b[..., 22:28]], axis=-1)
+    slimT = jnp.swapaxes(slim, -1, -2)                # (..., 12, cap)
+    pad = [(0, 0)] * (slimT.ndim - 2) + [(0, 4), (0, 0)]
     return jnp.pad(slimT, pad)
+
+
+def _aa_ytbl(rec_bwd_b):
+    """Per-chunk y-window table for the band-windowed AA helpers:
+    (C, TY, TX, 2, nch_pad) f32 with row 0 = running max of chunk ymax and
+    row 1 = chunk min ymin (+BIG padding so padded lanes never qualify)."""
+    cap = rec_bwd_b.shape[-2]
+    nch = cap // _OH
+    lead = rec_bwd_b.shape[:-2]
+    ymin = rec_bwd_b[..., 26].reshape(*lead, nch, _OH)
+    ymax = rec_bwd_b[..., 27].reshape(*lead, nch, _OH)
+    # dead slots are zeroed rows: ymin 0 would drag chunk minima to 0 and
+    # defeat the tail cut, so mask them to +BIG (ymax 0 is harmless in max)
+    dead = rec_bwd_b[..., 22].reshape(*lead, nch, _OH) == 0.0   # fid row
+    ymin_c = jnp.where(dead, _BIG, ymin).min(axis=-1)
+    ymax_c = ymax.max(axis=-1)
+    runmax = jax.lax.cummax(ymax_c, axis=ymax_c.ndim - 1)
+    tbl = jnp.stack([runmax, ymin_c], axis=-2)        # (..., 2, nch)
+    pad_n = (-nch) % 128
+    if pad_n:
+        tbl = jnp.pad(tbl, [(0, 0)] * (tbl.ndim - 1) + [(0, pad_n)],
+                      constant_values=_BIG)
+    return tbl
 
 
 def _aa_pair_t(fields, pax, pay, d_ex, d_ey, other_fid):
@@ -1406,7 +1516,7 @@ def _aa_common(fid, z, fid_n, z_n):
     return owner, other, differs
 
 
-def _aa_fwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref,
+def _aa_fwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref, ytbl_ref,
                    fid_ref, z_ref, fidr_ref, zr_ref, fidd_ref, zd_ref,
                    *rest, cap, chunk, height, width, D):
     col_refs = rest[:D]
@@ -1421,6 +1531,7 @@ def _aa_fwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref,
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
+    tile_y0 = ((ti + row0_ref[0]) * TILE_H).astype(jnp.float32)
     pax, pay = _pixel_lanes(ti + row0_ref[0], tj, height, width)
     dxw = 2.0 / width
     dyh = 2.0 / height
@@ -1439,7 +1550,9 @@ def _aa_fwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref,
     for own, oth, d_ex, d_ey in ((own_h, oth_h, dxw, 0.0),
                                  (own_v, oth_v, 0.0, dyh)):
         if cap > _UNROLL_CAP:
-            _onehot_gather_bykey_ref(recT_ref, (0, 0, 0), own, count, facc)
+            _onehot_gather_bykey_ref(recT_ref, (0, 0, 0), own, count, facc,
+                                     tbl=ytbl_ref[0, 0, 0],
+                                     tile_y0=tile_y0)
         else:
             _onehot_gather_bykey(recT_ref[0, 0, 0], fid_col, own, cap, count,
                                  facc)
@@ -1548,13 +1661,21 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
                      height=height, width=width, D=D)
     n_in_planes = 6 + 3 * D
     n_out = 3 * D
+    ytbl = _aa_ytbl(rec_bwd_b) if big else jnp.zeros(
+        (C, 1, 1, 2, 128), jnp.float32)
+    ytbl_spec = pl.BlockSpec(
+        (1, 1, 1, 2, ytbl.shape[-1]),
+        (lambda c, i, j, counts, row0: (c, i, j, 0, 0)) if big
+        else (lambda c, i, j, counts, row0: (c, 0, 0, 0, 0)),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(C, ty, tx),
         in_specs=[rec_spec,
                   pl.BlockSpec((1, 1, 1, 16, cap),
                                lambda c, i, j, counts, row0: (c, i, j, 0, 0),
-                               memory_space=pltpu.VMEM)]
+                               memory_space=pltpu.VMEM),
+                  ytbl_spec]
         + [_plane_spec()] * n_in_planes,
         out_specs=[_plane_spec()] * n_out,
         scratch_shapes=[pltpu.VMEM((16, _P), jnp.float32)],
@@ -1565,7 +1686,7 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
         out_shape=[jax.ShapeDtypeStruct((C, ty * TILE_H, width),
                                         jnp.float32)] * n_out,
         interpret=interpret, **_ccall_kwargs(cap),
-    )(counts_b, row0, rec_in, recT, fid, z, fid_r, z_r, fid_d, z_d,
+    )(counts_b, row0, rec_in, recT, ytbl, fid, z, fid_r, z_r, fid_d, z_d,
       *chans(color), *chans(col_r), *chans(col_d))
     down = (lambda x: _shift_down_ch_halo(x, *halo)) if halo \
         else _shift_down_ch
@@ -1577,7 +1698,7 @@ def aa_fwd_pallas(rec_bwd_b, counts_b, fid, z, color, resolution, cap,
 
 
 
-def _aa_bwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref,
+def _aa_bwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref, ytbl_ref,
                    fid_ref, z_ref, fidr_ref, zr_ref, fidd_ref, zd_ref,
                    *rest, cap, chunk, height, width, D):
     col_refs = rest[:D]
@@ -1596,6 +1717,7 @@ def _aa_bwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref,
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     count = counts_ref[ci, ti, tj]
+    tile_y0 = ((ti + row0_ref[0]) * TILE_H).astype(jnp.float32)
     pax, pay = _pixel_lanes(ti + row0_ref[0], tj, height, width)
     dxw = 2.0 / width
     dyh = 2.0 / height
@@ -1618,7 +1740,9 @@ def _aa_bwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref,
             (oth_v, dif_v, own_v, 0.0, dyh, cold_refs, doutd_refs,
              dbv_refs))):
         if cap > _UNROLL_CAP:
-            _onehot_gather_bykey_ref(recT_ref, (0, 0, 0), own, count, facc)
+            _onehot_gather_bykey_ref(recT_ref, (0, 0, 0), own, count, facc,
+                                     tbl=ytbl_ref[0, 0, 0],
+                                     tile_y0=tile_y0)
         else:
             _onehot_gather_bykey(recT_ref[0, 0, 0], fid_col, own, cap, count,
                                  facc)
@@ -1665,7 +1789,9 @@ def _aa_bwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref,
             (dsx[0], dsy[0], dsx[1], dsy[1], dsx[2], dsy[2]), axis=0)
         if cap > _UNROLL_CAP:
             _onehot_reduce_bykey_add(dslot_ref, recT_ref, (0, 0, 0), own, G,
-                                     count, init=(direction == 0))
+                                     count, init=(direction == 0),
+                                     tbl=ytbl_ref[0, 0, 0],
+                                     tile_y0=tile_y0)
         else:
             _onehot_reduce(S0 if direction == 0 else S1, fid_col, own, G,
                            cap, count)
@@ -1709,13 +1835,21 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
     kernel = partial(_aa_bwd_kernel, cap=cap, chunk=chunk,
                      height=height, width=width, D=D)
     n_in_planes = 6 + 6 * D
+    ytbl = _aa_ytbl(rec_bwd_b) if big else jnp.zeros(
+        (C, 1, 1, 2, 128), jnp.float32)
+    ytbl_spec = pl.BlockSpec(
+        (1, 1, 1, 2, ytbl.shape[-1]),
+        (lambda c, i, j, counts, row0: (c, i, j, 0, 0)) if big
+        else (lambda c, i, j, counts, row0: (c, 0, 0, 0, 0)),
+        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(C, ty, tx),
         in_specs=[rec_spec,
                   pl.BlockSpec((1, 1, 1, 16, cap),
                                lambda c, i, j, counts, row0: (c, i, j, 0, 0),
-                               memory_space=pltpu.VMEM)]
+                               memory_space=pltpu.VMEM),
+                  ytbl_spec]
         + [_plane_spec()] * n_in_planes,
         out_specs=[_plane_spec()] * (3 * D)
         + [pl.BlockSpec((1, 1, 1, cap, 8),
@@ -1732,7 +1866,7 @@ def aa_bwd_pallas(rec_bwd_b, counts_b, fid, z, color, d_out, resolution, cap,
                                         jnp.float32)] * (3 * D)
         + [jax.ShapeDtypeStruct((C, ty, tx, cap, 8), jnp.float32)],
         interpret=interpret, **_ccall_kwargs(cap),
-    )(counts_b, row0, rec_in, recT, fid, z, fid_r, z_r, fid_d, z_d,
+    )(counts_b, row0, rec_in, recT, ytbl, fid, z, fid_r, z_r, fid_d, z_d,
       *chans(color), *chans(col_r), *chans(col_d),
       *chans(d_out), *chans(dout_r), *chans(dout_d))
     down = (lambda x: _shift_down_ch_halo(x, *halo)) if halo \

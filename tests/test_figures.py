@@ -51,11 +51,11 @@ def _fabricate(out, exp, names, with_mesh=False):
 
 CASES = {
     "comparison": (["suzanne_ours", "suzanne_lapreg", "suzanne_bilapreg"], True),
-    "viewpoints": (["views_1", "views_4", "views_16"], False),
+    "viewpoints": (["views_1_ours", "views_4_ours", "views_4_reg"], False),
     "influence": (["alpha_0", "alpha_0.5", "alpha_0.99"], False),
     "reg_fail": (["ours", "reg_1", "reg_400"], False),
     "multiscale": (["multiscale"], False),
-    "remeshing": (["remesh_at_100", "remesh_at_500"], False),
+    "remeshing": (["reg", "base", "remesh_middle"], False),
     "teaser": (["ours", "ours_remesh", "reg", "naive"], False),
 }
 
