@@ -647,10 +647,15 @@ def optimize_shape(scene, params=None):
         # producing NaNs).  Check periodically (not every step — a per-step
         # host fetch would serialize the async dispatch pipeline).
         if p["nan_check_every"] and (it + 1) % int(p["nan_check_every"]) == 0:
-            if not np.isfinite(float(np.asarray(losses[0]))):
+            # check BOTH logged scalars: NaN vertices render as background,
+            # leaving the image loss FINITE while the bilaplacian magnitude
+            # (a function of the vertices) goes NaN — the observed teaser
+            # divergence mode
+            if not (np.isfinite(float(np.asarray(losses[0])))
+                    and np.isfinite(float(np.asarray(losses[1])))):
                 import warnings
                 warnings.warn(
-                    f"non-finite loss at iteration {it}; aborting "
+                    f"non-finite loss/reg at iteration {it}; aborting "
                     f"optimization (diverged)")
                 result["diverged"] = True
                 it += 1

@@ -1227,7 +1227,12 @@ def _chain_planes(dslot, dslot_aa, boost, rbb):
                    -iw[k] * iw[k] * diw - iw[k] * (dsx * sx[k] + dsy * sy[k]),
                    dslot[..., 9 + 3 * k], dslot[..., 10 + 3 * k],
                    dslot[..., 11 + 3 * k]]
-    return jnp.stack(planes, axis=-1)            # (..., cap, 18)
+    table = jnp.stack(planes, axis=-1)           # (..., cap, 18)
+    # single choke point for sliver-triangle infs (1/s, 1/area, 1/den²
+    # upstream): one inf component NaNs EVERY parameter through
+    # AdamUniform's global-max denominator, so drop non-finite per-slot
+    # contributions (nvdiffrast skips ill-conditioned terms the same way)
+    return jnp.where(jnp.abs(table) < _BIG, table, 0.0)
 
 
 def build_incidence(faces, n_verts):
@@ -1772,8 +1777,15 @@ def _aa_bwd_kernel(counts_ref, row0_ref, rec_ref, recT_ref, ytbl_ref,
             ea, eb, den, ax, ay, bx, by = geos[e]
             dtm = jnp.where(take, dt, 0.0)
             inv_d2 = 1.0 / (den * den)
-            dea = dtm * (-eb) * inv_d2
-            deb = dtm * ea * inv_d2
+            # sliver triangles make den ~ 0 and 1/den² overflows to inf;
+            # one inf gradient component NaNs the whole parameter vector
+            # through AdamUniform's global-max denominator (observed at
+            # step 151 of a 2170-step nefertiti run).  nvdiffrast skips
+            # ill-conditioned crossings; zero the non-finite contributions
+            # (abs(x) < _BIG is False for both inf and NaN).
+            sane = lambda x: jnp.where(jnp.abs(x) < _BIG, x, 0.0)
+            dea = sane(dtm * (-eb) * inv_d2)
+            deb = sane(dtm * ea * inv_d2)
             dax = dea * (by - pay) + deb * (by - pby)
             day = dea * (pax - bx) + deb * (pbx - bx)
             dbx = dea * (pay - ay) + deb * (pby - ay)
