@@ -37,8 +37,14 @@ def remove_duplicates(v: np.ndarray, f: np.ndarray):
 
 
 def safe_acos(x: jax.Array) -> jax.Array:
-    """acos clamped to the valid domain (scripts/geometry.py:113-114)."""
-    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+    """acos clamped STRICTLY inside the valid domain
+    (scripts/geometry.py:113-114 clamps to exactly ±1, where acos' = ∓inf —
+    collinear corner edges of a sliver face then emit one inf gradient
+    component, which AdamUniform's global-max second-moment denominator
+    turns into NaN for EVERY parameter; observed killing a 2170-step
+    nefertiti run at step 151).  The 1e-6 margin bounds the backward at
+    ~707 and biases the angle by ≤1.4e-3 rad."""
+    return jnp.arccos(jnp.clip(x, -1.0 + 1e-6, 1.0 - 1e-6))
 
 
 def average_edge_length(verts, faces) -> jax.Array:

@@ -29,10 +29,12 @@ def compute_face_normals(verts: jax.Array, faces) -> jax.Array:
     (cross(v1−v0, v2−v0), normalized)."""
     fv = verts[jnp.asarray(np.asarray(faces))]
     c = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
-    # eps: a fully degenerate face (naive optimization at high resolution
-    # collapses triangles) must yield a zero normal, not NaN — an un-guarded
-    # 0/0 here turns one bad face into NaN parameters for the whole mesh
-    return c / (jnp.linalg.norm(c, axis=1, keepdims=True) + 1e-20)
+    # rsqrt(‖c‖² + ε): a fully degenerate face (naive optimization at high
+    # resolution collapses triangles) must yield a zero normal AND a finite
+    # BACKWARD — jnp.linalg.norm's VJP is c/‖c‖ = 0/0 = NaN at exactly 0
+    # even with +eps added outside, and one NaN component poisons every
+    # parameter through AdamUniform's global max
+    return c * jax.lax.rsqrt(jnp.sum(c * c, axis=1, keepdims=True) + 1e-20)
 
 
 def compute_vertex_normals(verts: jax.Array, faces, face_normals: jax.Array) -> jax.Array:
@@ -47,12 +49,14 @@ def compute_vertex_normals(verts: jax.Array, faces, face_normals: jax.Array) -> 
     fv = verts[fidx]                       # (F, 3, 3)
 
     eps = 1e-20
+    # rsqrt-based normalization everywhere: norm()'s VJP is NaN at exactly
+    # zero (see compute_face_normals)
+    unit = lambda a: a * jax.lax.rsqrt(
+        jnp.sum(a * a, axis=1, keepdims=True) + eps)
     contributions = []
     for i in range(3):
-        d0 = fv[:, (i + 1) % 3] - fv[:, i]
-        d1 = fv[:, (i + 2) % 3] - fv[:, i]
-        d0 = d0 / (jnp.linalg.norm(d0, axis=1, keepdims=True) + eps)
-        d1 = d1 / (jnp.linalg.norm(d1, axis=1, keepdims=True) + eps)
+        d0 = unit(fv[:, (i + 1) % 3] - fv[:, i])
+        d1 = unit(fv[:, (i + 2) % 3] - fv[:, i])
         angle = safe_acos(jnp.sum(d0 * d1, axis=1))
         contributions.append(face_normals * angle[:, None])
 
@@ -60,4 +64,4 @@ def compute_vertex_normals(verts: jax.Array, faces, face_normals: jax.Array) -> 
     ids = fidx.transpose().reshape(-1)                           # (3F,)
     contrib = jnp.concatenate(contributions, axis=0)             # (3F, 3)
     normals = jax.ops.segment_sum(contrib, ids, num_segments=verts.shape[0])
-    return normals / (jnp.linalg.norm(normals, axis=1, keepdims=True) + eps)
+    return unit(normals)
