@@ -39,6 +39,11 @@ SCENES = {
     # (reference teaser optimizes the >=100k-vert nefertiti mesh,
     # figures/teaser/generate_data.py:24)
     "nefertiti": dict(source=("icosphere", 7), target=("gourd", 7),     n_views=13, res=256),
+    # remesh-leg variant: one subdivision coarser so the h/2 remesh at step
+    # 250 lands at the 163k-vert class (from icosphere-7 it lands at ~655k
+    # verts, whose banded factor tables alone are ~7.4 GB and exceed
+    # single-chip HBM together with the render tables)
+    "nefertiti_coarse": dict(source=("icosphere", 6), target=("gourd", 7), n_views=13, res=256),
     "dragon":   dict(source=("icosphere", 4), target=("supershape", 5), n_views=13, res=256),
 }
 

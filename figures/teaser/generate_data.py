@@ -39,4 +39,7 @@ if __name__ == "__main__":
             continue
         if quick:
             params = dict(params, steps=min(params["steps"], 50))
-        run(name, SCENE, params, "teaser")
+        # the remesh leg starts one subdivision coarser (see common.SCENES
+        # "nefertiti_coarse") so its post-remesh epoch stays in HBM
+        scene = "nefertiti_coarse" if name == "ours_remesh" else SCENE
+        run(name, scene, params, "teaser")
