@@ -66,11 +66,15 @@ def run(name, scene_name, params, out_subdir, record_hausdorff_every=0):
         result["v_final"], result["f_final"],
         scene["mesh-target"]["vertices"], scene["mesh-target"]["faces"],
     )
+    prof = result.get("prof", {})
     with open(base + "_metrics.csv", "w", newline="") as fh:
         w = csv.writer(fh)
-        w.writerow(["hausdorff", "iters", "wall_time_s", "iters_per_s"])
+        w.writerow(["hausdorff", "iters", "wall_time_s", "iters_per_s",
+                    "rebin_s", "rebin_n", "setup_s", "first_step_s"])
         w.writerow([d, result["iters"], result["wall_time"],
-                    result["iters"] / max(result["wall_time"], 1e-9)])
+                    result["iters"] / max(result["wall_time"], 1e-9),
+                    prof.get("rebin_s", 0.0), prof.get("rebin_n", 0),
+                    prof.get("setup_s", 0.0), prof.get("first_step_s", 0.0)])
     print(f"[{out_subdir}/{name}] hausdorff={d:.5f} "
           f"iters={result['iters']} ({result['iters']/max(result['wall_time'],1e-9):.1f} it/s)")
     return result, d

@@ -549,13 +549,29 @@ def optimize_shape(scene, params=None):
             )
             v_src = v_new.astype(np.float32)
             f_src = f_new.astype(np.int32)
+            # Free the OLD epoch before building the new one.  At nefertiti
+            # scale the two epochs' solver factor tables, render bin tables
+            # and compiled step executables do not fit HBM side by side
+            # (measured: the teaser ours_remesh leg ResourceExhausted'd at
+            # the 40k→156k remesh).  Everything needed from the old epoch
+            # (v_unique, theta["tr"]) is already on host above.
+            while inflight:
+                jax.block_until_ready(inflight.popleft())
+            disp_q.clear()
+            theta = {"tr": np.asarray(theta["tr"])}
+            opt_state = guess_fwd = guess_bwd = None
+            step = None          # drop the old executable + its constants
+            st = None
+            import gc
+            jax.clear_caches()   # old-shape executables hold device buffers
+            gc.collect()
             st = _build_epoch(v_src, f_src, p, renderer)
             result["f"].append(f_new.copy())
             step_size *= 0.8
             tx = _make_optimizer(p["optimizer"], step_size)
             theta = {
                 "u": st.u if p["smooth"] else jnp.asarray(st.v_unique),
-                "tr": theta["tr"],
+                "tr": jnp.asarray(theta["tr"]),
             }
             opt_state = tx.init(theta)
             guess_fwd = jnp.asarray(st.v_unique)

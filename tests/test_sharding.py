@@ -29,7 +29,7 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
-def _driver_run(sharding, res_hw, steps=4, remesh=None):
+def _driver_run(sharding, res_hw, steps=4, remesh=None, extra=None):
     from largesteps_tpu.driver import optimize_shape
     h, w = res_hw
     scene = make_scene(source=("icosphere", 2), target=("gourd", 2),
@@ -37,6 +37,8 @@ def _driver_run(sharding, res_hw, steps=4, remesh=None):
     scene["res_y"], scene["res_x"] = h, w
     params = {"steps": steps, "step_size": 0.05, "lambda": 9.0, "boost": 3,
               "solver": "CG", "sharding": sharding}
+    if extra:
+        params.update(extra)
     if remesh is not None:
         params["remesh"] = remesh
     return optimize_shape(scene, params)
@@ -56,6 +58,22 @@ def test_driver_sharded_matches_single(res):
     # ulp-level differences shift antialias crossing parameters (verified
     # no boundary-row structure — max image diff sits mid-shard); the drift
     # compounds through 4 AdamUniform steps, hence the loose bars
+    np.testing.assert_allclose(shard["losses"][:, 0], single["losses"][:, 0],
+                               rtol=1e-3, atol=2e-6)
+    np.testing.assert_allclose(shard["v_final"], single["v_final"],
+                               rtol=0, atol=2e-3)
+
+
+def test_driver_sharded_big_pipeline():
+    """Sharded-vs-single allclose through the LARGE-F host-binned pipeline
+    (the ≥100k-face configuration): host_bin_faces=1 forces host bins and
+    host_bin_cap>1024 engages the camera-sequential big pipe, run under a
+    (dp=4, sp=2) mesh so 'sp' shards image TILE ROWS within each camera —
+    the row sharding round 4 dropped at exactly this scale."""
+    big = {"host_bin_faces": 1, "host_bin_cap": 1152, "rebin_every": 0,
+           "rebin_auto": False}
+    single = _driver_run(None, (64, 128), steps=3, extra=big)
+    shard = _driver_run({"dp": 4, "sp": 2}, (64, 128), steps=3, extra=big)
     np.testing.assert_allclose(shard["losses"][:, 0], single["losses"][:, 0],
                                rtol=1e-3, atol=2e-6)
     np.testing.assert_allclose(shard["v_final"], single["v_final"],
